@@ -1,0 +1,343 @@
+"""Dense pairwise distances — the L2 math layer of the framework.
+
+Reference surface: ``cuvs::distance::pairwise_distance`` with the 21-value
+``DistanceType`` enum (/root/reference/cpp/include/cuvs/distance/distance.hpp:19-66,
+pairwise_distance overloads :163-337). The reference implements these as
+CUDA kernels with a CUTLASS-tiled path for the expanded metrics
+(/root/reference/cpp/src/distance/detail/pairwise_distance_cutlass_base.cuh).
+
+TPU-native design:
+  * **Expanded family** (L2Expanded, Cosine, Correlation, InnerProduct,
+    Hellinger, RusselRao, Jaccard, Dice): ONE MXU matmul ``x @ y.T`` plus a
+    vector epilogue on precomputed row norms/sums. This is where the FLOPs
+    live and XLA tiles it onto the 128x128 systolic array directly.
+  * **Unexpanded family** (L1, Linf, Canberra, Lp, Hamming, BrayCurtis,
+    JensenShannon, KLDivergence, L2Unexpanded): broadcast map-reduce on the
+    VPU, tiled over query rows with ``lax.map`` so the [tile, n, d]
+    intermediate stays within HBM budget.
+  * BitwiseHamming: XOR + ``lax.population_count`` on packed uint8 data.
+
+All distances are returned as float32 [m, n].
+"""
+
+from __future__ import annotations
+
+import enum
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class DistanceType(enum.IntEnum):
+    """Mirrors cuvs::distance::DistanceType values (distance.hpp:19-66)."""
+
+    L2Expanded = 0
+    L2SqrtExpanded = 1
+    CosineExpanded = 2
+    L1 = 3
+    L2Unexpanded = 4
+    L2SqrtUnexpanded = 5
+    InnerProduct = 6
+    Linf = 7
+    Canberra = 8
+    LpUnexpanded = 9
+    CorrelationExpanded = 10
+    JaccardExpanded = 11
+    HellingerExpanded = 12
+    Haversine = 13
+    BrayCurtis = 14
+    JensenShannon = 15
+    HammingUnexpanded = 16
+    KLDivergence = 17
+    RusselRaoExpanded = 18
+    DiceExpanded = 19
+    BitwiseHamming = 20
+    Precomputed = 100
+
+
+# String aliases accepted by the Python API (matches cuvs python bindings'
+# metric names, python/cuvs/cuvs/distance/distance.pyx DISTANCE_TYPES).
+_ALIASES = {
+    "sqeuclidean": DistanceType.L2Expanded,
+    "euclidean": DistanceType.L2SqrtExpanded,
+    "l2": DistanceType.L2SqrtExpanded,
+    "cosine": DistanceType.CosineExpanded,
+    "l1": DistanceType.L1,
+    "cityblock": DistanceType.L1,
+    "manhattan": DistanceType.L1,
+    "taxicab": DistanceType.L1,
+    "inner_product": DistanceType.InnerProduct,
+    "dot": DistanceType.InnerProduct,
+    "chebyshev": DistanceType.Linf,
+    "linf": DistanceType.Linf,
+    "canberra": DistanceType.Canberra,
+    "lp": DistanceType.LpUnexpanded,
+    "minkowski": DistanceType.LpUnexpanded,
+    "correlation": DistanceType.CorrelationExpanded,
+    "jaccard": DistanceType.JaccardExpanded,
+    "hellinger": DistanceType.HellingerExpanded,
+    "haversine": DistanceType.Haversine,
+    "braycurtis": DistanceType.BrayCurtis,
+    "jensenshannon": DistanceType.JensenShannon,
+    "hamming": DistanceType.HammingUnexpanded,
+    "kl_divergence": DistanceType.KLDivergence,
+    "kldivergence": DistanceType.KLDivergence,
+    "russellrao": DistanceType.RusselRaoExpanded,
+    "dice": DistanceType.DiceExpanded,
+    "bitwise_hamming": DistanceType.BitwiseHamming,
+}
+
+
+def normalize_metric(metric) -> DistanceType:
+    if isinstance(metric, DistanceType):
+        return metric
+    if isinstance(metric, int):
+        return DistanceType(metric)
+    key = str(metric).lower()
+    if key in _ALIASES:
+        return _ALIASES[key]
+    try:
+        return DistanceType[metric]
+    except KeyError:
+        raise ValueError(f"unknown metric {metric!r}") from None
+
+
+def is_min_close(metric) -> bool:
+    """Whether smaller distance = more similar (distance.hpp:71-86)."""
+    return normalize_metric(metric) != DistanceType.InnerProduct
+
+
+def row_norms(x, squared: bool = True) -> jnp.ndarray:
+    x = jnp.asarray(x, jnp.float32)
+    n = jnp.sum(x * x, axis=-1)
+    return n if squared else jnp.sqrt(n)
+
+
+# ----------------------------------------------------------------------------
+# Expanded (matmul) family
+# ----------------------------------------------------------------------------
+
+def matmul_precision(compute_dtype):
+    """MXU precision matching the requested compute dtype.
+
+    TPU f32 matmuls default to bf16 passes; HIGHEST forces true fp32
+    (3-pass) when the caller asked for float32 accuracy. For bfloat16
+    compute the inputs are cast and DEFAULT single-pass bf16 is used.
+    """
+    return lax.Precision.HIGHEST if compute_dtype == jnp.float32 else lax.Precision.DEFAULT
+
+
+def _gemm(x, y, compute_dtype):
+    """x [m,d] @ y.T [d,n] on the MXU, accumulated in fp32."""
+    xc = x.astype(compute_dtype)
+    yc = y.astype(compute_dtype)
+    return lax.dot_general(
+        xc,
+        yc,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=matmul_precision(compute_dtype),
+    )
+
+
+def _expanded(metric, x, y, compute_dtype, x_norms=None, y_norms=None):
+    m = metric
+    if m == DistanceType.InnerProduct:
+        return -0.0 + _gemm(x, y, compute_dtype) * 1.0  # raw similarity
+
+    if m in (DistanceType.L2Expanded, DistanceType.L2SqrtExpanded):
+        xn = row_norms(x) if x_norms is None else x_norms
+        yn = row_norms(y) if y_norms is None else y_norms
+        d = xn[:, None] + yn[None, :] - 2.0 * _gemm(x, y, compute_dtype)
+        d = jnp.maximum(d, 0.0)
+        return jnp.sqrt(d) if m == DistanceType.L2SqrtExpanded else d
+
+    if m == DistanceType.CosineExpanded:
+        xn = row_norms(x, squared=False) if x_norms is None else x_norms
+        yn = row_norms(y, squared=False) if y_norms is None else y_norms
+        dot = _gemm(x, y, compute_dtype)
+        denom = jnp.maximum(xn[:, None] * yn[None, :], 1e-30)
+        return 1.0 - dot / denom
+
+    if m == DistanceType.CorrelationExpanded:
+        xf = jnp.asarray(x, jnp.float32)
+        yf = jnp.asarray(y, jnp.float32)
+        xc = xf - jnp.mean(xf, axis=1, keepdims=True)
+        yc = yf - jnp.mean(yf, axis=1, keepdims=True)
+        return _expanded(DistanceType.CosineExpanded, xc, yc, compute_dtype)
+
+    if m == DistanceType.HellingerExpanded:
+        # sqrt(1 - sum(sqrt(x_i * y_i))) on probability-like inputs
+        # (raft hellinger op semantics).
+        sx = jnp.sqrt(jnp.maximum(jnp.asarray(x, jnp.float32), 0.0))
+        sy = jnp.sqrt(jnp.maximum(jnp.asarray(y, jnp.float32), 0.0))
+        dot = _gemm(sx, sy, jnp.float32)
+        return jnp.sqrt(jnp.maximum(1.0 - dot, 0.0))
+
+    if m == DistanceType.RusselRaoExpanded:
+        k = x.shape[-1]
+        dot = _gemm(x, y, compute_dtype)
+        return (k - dot) / k
+
+    if m == DistanceType.JaccardExpanded:
+        dot = _gemm(x, y, compute_dtype)
+        xn = row_norms(x)
+        yn = row_norms(y)
+        union = jnp.maximum(xn[:, None] + yn[None, :] - dot, 1e-30)
+        return 1.0 - dot / union
+
+    if m == DistanceType.DiceExpanded:
+        dot = _gemm(x, y, compute_dtype)
+        xn = row_norms(x)
+        yn = row_norms(y)
+        return 1.0 - 2.0 * dot / jnp.maximum(xn[:, None] + yn[None, :], 1e-30)
+
+    raise AssertionError(m)
+
+
+_EXPANDED = {
+    DistanceType.L2Expanded,
+    DistanceType.L2SqrtExpanded,
+    DistanceType.CosineExpanded,
+    DistanceType.CorrelationExpanded,
+    DistanceType.InnerProduct,
+    DistanceType.HellingerExpanded,
+    DistanceType.RusselRaoExpanded,
+    DistanceType.JaccardExpanded,
+    DistanceType.DiceExpanded,
+}
+
+
+# ----------------------------------------------------------------------------
+# Unexpanded (VPU map-reduce) family
+# ----------------------------------------------------------------------------
+
+def _pointwise(metric, xt, y, p):
+    """xt [t, 1, d] vs y [1, n, d] -> [t, n] distances (fp32 throughout)."""
+    m = metric
+    diff = xt - y
+    if m in (DistanceType.L2Unexpanded, DistanceType.L2SqrtUnexpanded):
+        d = jnp.sum(diff * diff, axis=-1)
+        return jnp.sqrt(d) if m == DistanceType.L2SqrtUnexpanded else d
+    if m == DistanceType.L1:
+        return jnp.sum(jnp.abs(diff), axis=-1)
+    if m == DistanceType.Linf:
+        return jnp.max(jnp.abs(diff), axis=-1)
+    if m == DistanceType.Canberra:
+        denom = jnp.abs(xt) + jnp.abs(y)
+        term = jnp.where(denom > 0, jnp.abs(diff) / jnp.maximum(denom, 1e-30), 0.0)
+        return jnp.sum(term, axis=-1)
+    if m == DistanceType.LpUnexpanded:
+        return jnp.power(jnp.sum(jnp.power(jnp.abs(diff), p), axis=-1), 1.0 / p)
+    if m == DistanceType.HammingUnexpanded:
+        return jnp.mean((xt != y).astype(jnp.float32), axis=-1)
+    if m == DistanceType.BrayCurtis:
+        num = jnp.sum(jnp.abs(diff), axis=-1)
+        den = jnp.sum(jnp.abs(xt + y), axis=-1)
+        return num / jnp.maximum(den, 1e-30)
+    if m == DistanceType.JensenShannon:
+        mean = 0.5 * (xt + y)
+        safe = jnp.maximum(mean, 1e-30)
+        kx = jnp.where(xt > 0, xt * jnp.log(jnp.maximum(xt, 1e-30) / safe), 0.0)
+        ky = jnp.where(y > 0, y * jnp.log(jnp.maximum(y, 1e-30) / safe), 0.0)
+        return jnp.sqrt(jnp.maximum(0.5 * jnp.sum(kx + ky, axis=-1), 0.0))
+    if m == DistanceType.KLDivergence:
+        term = jnp.where(
+            xt > 0, xt * jnp.log(jnp.maximum(xt, 1e-30) / jnp.maximum(y, 1e-30)), 0.0
+        )
+        return jnp.sum(term, axis=-1)
+    raise AssertionError(m)
+
+
+_UNEXPANDED = {
+    DistanceType.L2Unexpanded,
+    DistanceType.L2SqrtUnexpanded,
+    DistanceType.L1,
+    DistanceType.Linf,
+    DistanceType.Canberra,
+    DistanceType.LpUnexpanded,
+    DistanceType.HammingUnexpanded,
+    DistanceType.BrayCurtis,
+    DistanceType.JensenShannon,
+    DistanceType.KLDivergence,
+}
+
+
+def _tiled_map(fn, x, row_tile):
+    """Apply fn to row tiles of x, concatenating results (static tiling)."""
+    m = x.shape[0]
+    pad = (-m) % row_tile
+    xp = jnp.pad(x, ((0, pad), (0, 0)))
+    tiles = xp.reshape(-1, row_tile, x.shape[1])
+    out = lax.map(fn, tiles)
+    return out.reshape(-1, out.shape[-1])[:m]
+
+
+def _haversine(x, y):
+    # x, y: [*, 2] (lat, lon) in radians
+    lat1, lon1 = x[:, None, 0], x[:, None, 1]
+    lat2, lon2 = y[None, :, 0], y[None, :, 1]
+    dlat = 0.5 * (lat2 - lat1)
+    dlon = 0.5 * (lon2 - lon1)
+    a = jnp.sin(dlat) ** 2 + jnp.cos(lat1) * jnp.cos(lat2) * jnp.sin(dlon) ** 2
+    return 2.0 * jnp.arcsin(jnp.sqrt(jnp.clip(a, 0.0, 1.0)))
+
+
+def _bitwise_hamming(x, y):
+    # packed uint8 bit vectors
+    x = jnp.asarray(x, jnp.uint8)
+    y = jnp.asarray(y, jnp.uint8)
+    xor = jnp.bitwise_xor(x[:, None, :], y[None, :, :])
+    return jnp.sum(lax.population_count(xor).astype(jnp.float32), axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "p", "row_tile", "compute_dtype"))
+def _pairwise_impl(x, y, metric, p, row_tile, compute_dtype):
+    if metric in _EXPANDED:
+        return _expanded(
+            metric,
+            jnp.asarray(x, jnp.float32),
+            jnp.asarray(y, jnp.float32),
+            compute_dtype,
+        )
+    if metric == DistanceType.Haversine:
+        return _haversine(jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32))
+    if metric == DistanceType.BitwiseHamming:
+        return _bitwise_hamming(x, y)
+    xf = jnp.asarray(x, jnp.float32)
+    yf = jnp.asarray(y, jnp.float32)
+    fn = lambda xt: _pointwise(metric, xt[:, None, :], yf[None, :, :], p)
+    return _tiled_map(fn, xf, row_tile)
+
+
+def pairwise_distance(
+    x,
+    y,
+    metric="sqeuclidean",
+    p: float = 2.0,
+    row_tile: Optional[int] = None,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """All-pairs distances between rows of x [m,d] and y [n,d] -> [m,n] fp32.
+
+    Parity: cuvs::distance::pairwise_distance (distance.hpp:163-337).
+    ``compute_dtype=jnp.bfloat16`` trades ~3 decimal digits for ~2x MXU rate
+    on the expanded metrics.
+    """
+    metric = normalize_metric(metric)
+    if metric == DistanceType.Precomputed:
+        raise ValueError("Precomputed is a tag, not a computable metric")
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    if x.ndim != 2 or y.ndim != 2 or x.shape[1] != y.shape[1]:
+        raise ValueError(f"bad shapes {x.shape} vs {y.shape}")
+    if row_tile is None:
+        # keep [tile, n, d] fp32 intermediates around ~256 MB
+        n, d = y.shape
+        budget = 256 * 1024 * 1024 // 4
+        row_tile = max(8, min(x.shape[0], budget // max(n * d, 1)))
+        row_tile = 1 << (row_tile.bit_length() - 1)  # power of two
+    return _pairwise_impl(x, y, metric, float(p), int(row_tile), compute_dtype)
