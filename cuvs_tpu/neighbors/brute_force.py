@@ -1,0 +1,188 @@
+"""Exact brute-force k-NN — the ground-truth tier.
+
+Reference: ``cuvs::neighbors::brute_force``
+(/root/reference/cpp/include/cuvs/neighbors/brute_force.hpp:37-168; tiled
+kernel ``tiled_brute_force_knn``
+/root/reference/cpp/src/neighbors/detail/knn_brute_force.cuh:62-267: GEMM
+tile -> per-tile select_k -> cross-tile merge).
+
+TPU-native: the dataset is reshaped into static [n_tiles, tile, d] blocks;
+a ``lax.scan`` walks tiles keeping a running sorted top-k per query
+(merge = top_k over the 2k concatenation). Each tile's distance block is
+one MXU matmul with the metric epilogue fused by XLA; prefilters mask the
+tile block with +inf before selection. Queries are chunked with ``lax.map``
+to bound the [chunk, tile] intermediate.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from cuvs_tpu.distance import pairwise
+from cuvs_tpu.distance.pairwise import DistanceType, normalize_metric, is_min_close
+from cuvs_tpu.neighbors import filters as filt
+from cuvs_tpu.selection.select_k import select_k
+
+
+@flax.struct.dataclass
+class Index:
+    """Brute-force index: dataset + precomputed norms (brute_force.hpp:37)."""
+
+    dataset: jnp.ndarray  # [n, d]
+    norms: Optional[jnp.ndarray]  # [n] squared L2 (L2 family) / L2 (cosine)
+    metric: DistanceType = flax.struct.field(pytree_node=False, default=DistanceType.L2Expanded)
+    metric_arg: float = flax.struct.field(pytree_node=False, default=2.0)
+
+    @property
+    def size(self) -> int:
+        return self.dataset.shape[0]
+
+    @property
+    def dim(self) -> int:
+        return self.dataset.shape[1]
+
+
+def build(dataset, metric="sqeuclidean", metric_arg: float = 2.0) -> Index:
+    """Build an exact-search index (precomputes row norms for L2/cosine)."""
+    metric = normalize_metric(metric)
+    dataset = jnp.asarray(dataset)
+    norms = None
+    if metric in (DistanceType.L2Expanded, DistanceType.L2SqrtExpanded):
+        norms = pairwise.row_norms(dataset, squared=True)
+    elif metric == DistanceType.CosineExpanded:
+        norms = pairwise.row_norms(dataset, squared=False)
+    return Index(dataset=dataset, norms=norms, metric=metric, metric_arg=metric_arg)
+
+
+def _tile_distances(metric, q, qn, tile, tile_norms, metric_arg, compute_dtype):
+    """Distances between query chunk [B,d] and dataset tile [T,d] -> [B,T]."""
+    if metric in (DistanceType.L2Expanded, DistanceType.L2SqrtExpanded):
+        dots = pairwise._gemm(q, tile, compute_dtype)
+        d = qn[:, None] + tile_norms[None, :] - 2.0 * dots
+        return jnp.maximum(d, 0.0)  # sqrt deferred to postprocess
+    if metric == DistanceType.InnerProduct:
+        return pairwise._gemm(q, tile, compute_dtype)
+    if metric == DistanceType.CosineExpanded:
+        dots = pairwise._gemm(q, tile, compute_dtype)
+        denom = jnp.maximum(qn[:, None] * tile_norms[None, :], 1e-30)
+        return 1.0 - dots / denom
+    # long-tail metrics: VPU pointwise block
+    return pairwise._pointwise(metric, q[:, None, :], tile[None, :, :], metric_arg)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "metric_arg", "tile_size", "chunk", "compute_dtype"),
+)
+def _search_impl(
+    dataset, norms, queries, prefilter, k, metric, metric_arg, tile_size, chunk, compute_dtype
+):
+    n, d = dataset.shape
+    nq = queries.shape[0]
+    min_close = metric != DistanceType.InnerProduct
+
+    n_tiles = -(-n // tile_size)
+    pad = n_tiles * tile_size - n
+    data_p = jnp.pad(dataset, ((0, pad), (0, 0)))
+    tiles = data_p.reshape(n_tiles, tile_size, d)
+    if norms is not None:
+        norm_tiles = jnp.pad(norms, ((0, pad),)).reshape(n_tiles, tile_size)
+    else:
+        norm_tiles = jnp.zeros((n_tiles, tile_size), jnp.float32)
+    # validity of padded rows
+    row_ids = jnp.arange(n_tiles * tile_size, dtype=jnp.int32).reshape(n_tiles, tile_size)
+
+    # query norms for expanded metrics
+    qf = jnp.asarray(queries, jnp.float32)
+    if metric in (DistanceType.L2Expanded, DistanceType.L2SqrtExpanded):
+        qnorms = jnp.sum(qf * qf, axis=1)
+    elif metric == DistanceType.CosineExpanded:
+        qnorms = jnp.sqrt(jnp.sum(qf * qf, axis=1))
+    else:
+        qnorms = jnp.zeros((nq,), jnp.float32)
+
+    qpad = (-nq) % chunk
+    qp = jnp.pad(queries, ((0, qpad), (0, 0)))
+    qnp = jnp.pad(qnorms, ((0, qpad),))
+    qidp = jnp.arange(nq + qpad, dtype=jnp.int32)
+
+    kk = min(k, tile_size)
+
+    def chunk_fn(args):
+        qc, qn, qid = args  # [B, d], [B], [B]
+
+        def tile_step(carry, xs):
+            best_v, best_i = carry
+            tile, tnorms, ids = xs
+            dist = _tile_distances(metric, qc, qn, tile, tnorms, metric_arg, compute_dtype)
+            order = dist if min_close else -dist
+            valid = (ids[None, :] < n)
+            mask = filt.passes(prefilter, qid[:, None], jnp.minimum(ids, n - 1)[None, :])
+            if mask is not None:
+                valid = jnp.logical_and(valid, mask)
+            order = jnp.where(valid, order, jnp.inf)
+            tv, ti_local = lax.top_k(-order, kk)
+            tv = -tv
+            ti = ids[ti_local]
+            # merge with running best
+            mv = jnp.concatenate([best_v, tv], axis=1)
+            mi = jnp.concatenate([best_i, ti], axis=1)
+            sv, sidx = lax.top_k(-mv, k)
+            return (-sv, jnp.take_along_axis(mi, sidx, axis=1)), None
+
+        init = (
+            jnp.full((qc.shape[0], k), jnp.inf, jnp.float32),
+            jnp.zeros((qc.shape[0], k), jnp.int32),
+        )
+        (bv, bi), _ = lax.scan(tile_step, init, (tiles, norm_tiles, row_ids))
+        return bv, bi
+
+    bv, bi = lax.map(chunk_fn, (qp.reshape(-1, chunk, d), qnp.reshape(-1, chunk), qidp.reshape(-1, chunk)))
+    bv = bv.reshape(-1, k)[:nq]
+    bi = bi.reshape(-1, k)[:nq]
+
+    # postprocess (reference postprocess_distances semantics)
+    if metric == DistanceType.L2SqrtExpanded:
+        bv = jnp.where(jnp.isfinite(bv), jnp.sqrt(jnp.maximum(bv, 0.0)), bv)
+    if not min_close:
+        bv = -bv  # back to similarity, descending
+    return bv, bi
+
+
+def search(
+    index: Index,
+    queries,
+    k: int,
+    prefilter: Optional[filt.Prefilter] = None,
+    tile_size: int = 8192,
+    query_chunk: int = 1024,
+    compute_dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact k-NN search. Returns (distances [nq,k], neighbors [nq,k] int32).
+
+    Filtered-out / padded slots carry +inf (-inf for InnerProduct).
+    """
+    queries = jnp.asarray(queries)
+    nq = queries.shape[0]
+    if prefilter is None:
+        prefilter = filt.no_filter()
+    tile_size = int(min(tile_size, max(128, index.size)))
+    query_chunk = int(min(query_chunk, max(8, nq)))
+    return _search_impl(
+        index.dataset,
+        index.norms,
+        queries,
+        prefilter,
+        int(k),
+        index.metric,
+        float(index.metric_arg),
+        tile_size,
+        query_chunk,
+        compute_dtype,
+    )
