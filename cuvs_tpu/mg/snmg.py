@@ -1,0 +1,246 @@
+"""Multi-chip (SNMG) sharded / replicated indexes over a device mesh.
+
+Reference: ``cuvs::neighbors::mg_index``
+(/root/reference/cpp/include/cuvs/neighbors/common.hpp:948-1026; impl
+cpp/src/neighbors/mg/snmg.cuh): REPLICATED mode copies the index per GPU
+and splits query batches; SHARDED mode builds per-GPU dataset shards,
+broadcasts queries, searches locally and merges top-k via NCCL
+(MERGE_ON_ROOT_RANK send/recv :298-345 or TREE_MERGE :378-460), driven by
+one OpenMP host thread per rank.
+
+TPU-native: one process drives the whole ``jax.sharding.Mesh``.
+  * SHARDED: per-shard index pytrees are stacked on a leading axis laid
+    out over the mesh; search is a ``shard_map`` that runs the local
+    jitted search per shard and merges partial top-k with one
+    ``all_gather`` over ICI + a local k-way merge (the tree-merge
+    collective is XLA's problem, which lowers all_gather to ring steps).
+  * REPLICATED: the index is replicated; the query batch is sharded on the
+    mesh axis — plain pjit data parallelism, no code beyond shardings.
+No NCCL, no host threads, no per-rank mutexes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cuvs_tpu.neighbors import brute_force, cagra, filters as filt, ivf_flat, ivf_pq
+
+_ALGOS = {
+    "brute_force": brute_force,
+    "ivf_flat": ivf_flat,
+    "ivf_pq": ivf_pq,
+    "cagra": cagra,
+}
+
+
+@flax.struct.dataclass
+class MGIndex:
+    """Stacked per-shard indexes + global id offsets."""
+
+    shards: Any  # index pytree with leading [n_shards] axis on every leaf
+    row_offsets: jnp.ndarray  # [n_shards] global id base per shard
+    algo: str = flax.struct.field(pytree_node=False, default="cagra")
+    mode: str = flax.struct.field(pytree_node=False, default="sharded")
+    n_rows: int = flax.struct.field(pytree_node=False, default=0)
+
+
+def default_mesh(axis: str = "shards") -> Mesh:
+    devs = jax.devices()
+    return Mesh(devs, (axis,))
+
+
+def _unify_windows(module, indexes):
+    """IVF shard indexes may pick different scan windows; re-pad the sorted
+    arrays so every shard shares the max window and leaves stack."""
+    if not hasattr(indexes[0], "window"):
+        return indexes
+    w = max(ix.window for ix in indexes)
+    out = []
+    for ix in indexes:
+        extra = w - ix.window
+        if extra == 0:
+            out.append(ix)
+            continue
+        lists = ix.lists
+        pad1 = lambda a: jnp.pad(a, [(0, extra)] + [(0, 0)] * (a.ndim - 1))
+        lists = lists._replace(
+            labels=jnp.pad(lists.labels, (0, extra), constant_values=-1),
+            ids=pad1(lists.ids),
+        )
+        kw = dict(window=w, lists=lists)
+        if hasattr(ix, "sorted_data"):
+            kw["sorted_data"] = pad1(ix.sorted_data)
+            kw["sorted_norms"] = pad1(ix.sorted_norms)
+        if hasattr(ix, "sorted_codes"):
+            kw["sorted_codes"] = pad1(ix.sorted_codes)
+        out.append(ix.replace(**kw))
+    return out
+
+
+def build(
+    dataset,
+    algo: str = "cagra",
+    mode: str = "sharded",
+    mesh: Optional[Mesh] = None,
+    index_params=None,
+    **kw,
+) -> MGIndex:
+    """Build a multi-chip index.
+
+    SHARDED: rows are split contiguously across shards (snmg.cuh:127-166);
+    REPLICATED: every shard holds the full index (:97-126).
+    """
+    if mesh is None:
+        mesh = default_mesh()
+    module = _ALGOS[algo]
+    dataset = jnp.asarray(dataset)
+    n = dataset.shape[0]
+    n_shards = mesh.devices.size
+
+    if mode == "replicated":
+        index = module.build(dataset, index_params, **kw) if index_params or kw else module.build(dataset)
+        shards = jax.tree.map(lambda a: a[None], index)
+        return MGIndex(
+            shards=shards,
+            row_offsets=jnp.zeros((1,), jnp.int32),
+            algo=algo,
+            mode="replicated",
+            n_rows=n,
+        )
+
+    # sharded: equal contiguous row blocks (dataset zero-padded to S*B rows;
+    # padded rows are masked out at merge time by their global id >= n)
+    block = -(-n // n_shards)
+    pad_rows = n_shards * block - n
+    if pad_rows:
+        dataset = jnp.concatenate(
+            [dataset, jnp.zeros((pad_rows, dataset.shape[1]), dataset.dtype)], axis=0
+        )
+    sub_indexes = []
+    offsets = []
+    for s in range(n_shards):
+        lo, hi = s * block, (s + 1) * block
+        sub = module.build(dataset[lo:hi], index_params, **kw) if index_params or kw else module.build(dataset[lo:hi])
+        sub_indexes.append(sub)
+        offsets.append(lo)
+    sub_indexes = _unify_windows(module, sub_indexes)
+    # pad shard data to equal leaf shapes before stacking (row counts differ
+    # by at most 1; CAGRA/BF leaves depend on shard row count)
+    sub_indexes = _pad_to_common(sub_indexes)
+    shards = jax.tree.map(lambda *xs: jnp.stack(xs), *sub_indexes)
+    return MGIndex(
+        shards=shards,
+        row_offsets=jnp.asarray(offsets, jnp.int32),
+        algo=algo,
+        mode="sharded",
+        n_rows=n,
+    )
+
+
+def _pad_to_common(indexes):
+    """Zero-pad every leaf to the max shape across shards so leaves stack."""
+    leaves_list = [jax.tree_util.tree_flatten(ix)[0] for ix in indexes]
+    treedef = jax.tree_util.tree_structure(indexes[0])
+    n_leaves = len(leaves_list[0])
+    maxshape = [
+        tuple(
+            max(leaves_list[s][i].shape[d] for s in range(len(indexes)))
+            for d in range(leaves_list[s][i].ndim)
+        )
+        for s, i in [(0, i) for i in range(n_leaves)]
+    ]
+    padded = []
+    for s in range(len(indexes)):
+        leaves = []
+        for i in range(n_leaves):
+            a = leaves_list[s][i]
+            cfg = [(0, m - sz) for sz, m in zip(a.shape, maxshape[i])]
+            leaves.append(jnp.pad(a, cfg) if any(p for _, p in cfg) else a)
+        padded.append(jax.tree_util.tree_unflatten(treedef, leaves))
+    return padded
+
+
+def _local_search(module, index, queries, k, prefilter, search_kw):
+    d, i = module.search(index, queries, k, prefilter=prefilter, **search_kw)
+    return d, i
+
+
+def search(
+    mg: MGIndex,
+    queries,
+    k: int,
+    mesh: Optional[Mesh] = None,
+    prefilter: Optional[filt.Prefilter] = None,
+    **search_kw,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Multi-chip search with top-k merge over ICI (snmg.cuh:561-650)."""
+    if mesh is None:
+        mesh = default_mesh()
+    axis = mesh.axis_names[0]
+    module = _ALGOS[mg.algo]
+    queries = jnp.asarray(queries)
+    nq = queries.shape[0]
+
+    if mg.mode == "replicated":
+        # shard the query batch over the mesh (LOAD_BALANCER split)
+        index = jax.tree.map(lambda a: a[0], mg.shards)
+        n_dev = mesh.devices.size
+        pad = (-nq) % n_dev
+        qp = jnp.pad(queries, ((0, pad), (0, 0)))
+        qs = jax.device_put(qp, NamedSharding(mesh, P(axis, None)))
+        d, i = _local_search(module, index, qs, k, prefilter, search_kw)
+        return d[:nq], i[:nq]
+
+    # sharded: every device searches its shard with the full query batch,
+    # then one all_gather + local merge
+    n_rows = mg.n_rows
+
+    def shard_fn(shards, offsets, q):
+        index = jax.tree.map(lambda a: a[0], shards)
+        # filters are defined over GLOBAL row ids; the local index sees
+        # shard-local ids, so shift them by the shard's offset when testing
+        if prefilter is None or prefilter.is_none:
+            local_flt = prefilter
+        else:
+            local_flt = filt.udf_filter(
+                lambda qid, sid: filt.passes(prefilter, qid, sid + offsets[0])
+            )
+        d, i = _local_search(module, index, q, k, local_flt, search_kw)
+        from cuvs_tpu.distance.pairwise import DistanceType, is_min_close
+
+        metric = getattr(index, "metric", DistanceType.L2Expanded)
+        bad = jnp.inf if is_min_close(metric) else -jnp.inf
+        i = i + offsets[0]  # local -> global ids
+        # mask padded rows (dataset was padded to equal shard blocks)
+        pad_hit = i >= n_rows
+        d = jnp.where(pad_hit, bad, d)
+        i = jnp.where(pad_hit, 0, i)
+        # merge across shards: gather [n_shards, nq, k] and k-way select
+        all_d = lax.all_gather(d, axis)  # [S, nq, k]
+        all_i = lax.all_gather(i, axis)
+        S = all_d.shape[0]
+        md = jnp.moveaxis(all_d, 0, 1).reshape(q.shape[0], S * k)
+        mi = jnp.moveaxis(all_i, 0, 1).reshape(q.shape[0], S * k)
+        if metric == DistanceType.InnerProduct:
+            tv, ti = lax.top_k(md, k)
+        else:
+            tv, ti = lax.top_k(-md, k)
+            tv = -tv
+        return tv, jnp.take_along_axis(mi, ti, axis=1)
+
+    shard_fn_mapped = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return shard_fn_mapped(mg.shards, mg.row_offsets, queries)

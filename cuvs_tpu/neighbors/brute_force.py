@@ -72,6 +72,10 @@ def _tile_distances(metric, q, qn, tile, tile_norms, metric_arg, compute_dtype):
         dots = pairwise._gemm(q, tile, compute_dtype)
         denom = jnp.maximum(qn[:, None] * tile_norms[None, :], 1e-30)
         return 1.0 - dots / denom
+    if metric == DistanceType.BitwiseHamming:
+        return pairwise._bitwise_hamming(q, tile)
+    if metric == DistanceType.Haversine:
+        return pairwise._haversine(q, tile)
     # long-tail metrics: VPU pointwise block
     return pairwise._pointwise(metric, q[:, None, :], tile[None, :, :], metric_arg)
 

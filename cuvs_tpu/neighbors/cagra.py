@@ -1,0 +1,343 @@
+"""CAGRA: fixed-degree graph ANN index.
+
+Reference: ``cuvs::neighbors::cagra``
+(/root/reference/cpp/include/cuvs/neighbors/cagra.hpp; build dispatch
+cpp/src/neighbors/detail/cagra/cagra_build.cuh:2206-2334; single-CTA search
+kernel jit_lto_kernels/search_single_cta_jit.cuh:112-378; plan
+search_plan.cuh:113-260). Defaults mirror the reference:
+intermediate_graph_degree=128, graph_degree=64, itopk_size=64,
+search_width=1, max_iterations auto.
+
+TPU-native design:
+  * build = knn_graph (exact MXU self-search or IVF-PQ+refine) followed by
+    the vectorized detour-count optimizer (graph_core.py).
+  * search = ONE jitted ``lax.while_loop`` over the whole query batch —
+    the analog of the reference's fused single-CTA kernel. Per-query state
+    is the itopk list (distances, packed id+explored flag). Each step
+    explores ``search_width`` best unexplored parents, gathers their
+    adjacency rows, dedups candidates against the itopk by dense compare
+    (replacing the CUDA visited hashmap), computes distances as batched
+    gather+dot, and bitonic-merges into the itopk via top_k.
+  * filtering: candidate distances are masked before the merge, with the
+    unfiltered traversal still using the node (reference filtering
+    semantics: filtered nodes route but are not returned).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from cuvs_tpu.distance import pairwise
+from cuvs_tpu.distance.pairwise import DistanceType, normalize_metric
+from cuvs_tpu.neighbors import filters as filt
+from cuvs_tpu.neighbors import graph_core, knn_graph
+from cuvs_tpu.neighbors import ivf_pq as ivfpq
+
+
+@dataclasses.dataclass(frozen=True)
+class IndexParams:
+    """Mirrors cagra::index_params (cagra.hpp:149-255)."""
+
+    intermediate_graph_degree: int = 128
+    graph_degree: int = 64
+    metric: DistanceType = DistanceType.L2Expanded
+    build_algo: str = "auto"  # "auto" | "brute_force" | "ivf_pq"
+    ivf_pq_params: Optional[ivfpq.IndexParams] = None
+    refine_ratio: float = 2.0
+    seed: int = 0
+
+    def __post_init__(self):
+        object.__setattr__(self, "metric", normalize_metric(self.metric))
+
+
+@dataclasses.dataclass(frozen=True)
+class SearchParams:
+    """Mirrors cagra::search_params (cagra.hpp:280-355)."""
+
+    itopk_size: int = 64
+    search_width: int = 1
+    max_iterations: int = 0  # 0 = auto
+    num_random_samplings: int = 1
+    rand_xor_mask: int = 0x128394
+    compute_dtype: object = jnp.float32
+    query_chunk: int = 1024
+
+
+@flax.struct.dataclass
+class Index:
+    dataset: jnp.ndarray  # [n, d]
+    dataset_norms: jnp.ndarray  # [n] squared L2
+    graph: jnp.ndarray  # [n, graph_degree] int32
+    metric: DistanceType = flax.struct.field(pytree_node=False, default=DistanceType.L2Expanded)
+
+    @property
+    def size(self) -> int:
+        return self.dataset.shape[0]
+
+    @property
+    def dim(self) -> int:
+        return self.dataset.shape[1]
+
+    @property
+    def graph_degree(self) -> int:
+        return self.graph.shape[1]
+
+
+def build(dataset, params: Optional[IndexParams] = None, **kw) -> Index:
+    """knn graph -> optimize -> index (cagra_build.cuh:2206)."""
+    if params is None:
+        params = IndexParams(**kw)
+    dataset = jnp.asarray(dataset)
+    n = dataset.shape[0]
+    ideg = min(params.intermediate_graph_degree, n - 1)
+    gdeg = min(params.graph_degree, ideg)
+    neighbors, _ = knn_graph.build_knn_graph(
+        dataset,
+        ideg,
+        metric=params.metric,
+        algo=params.build_algo,
+        ivf_pq_params=params.ivf_pq_params,
+        refine_ratio=params.refine_ratio,
+        seed=params.seed,
+    )
+    graph = graph_core.optimize(neighbors, gdeg)
+    return from_graph(dataset, graph, metric=params.metric)
+
+
+def from_graph(dataset, graph, metric=DistanceType.L2Expanded) -> Index:
+    """Assemble an index from an existing graph (update_graph semantics)."""
+    dataset = jnp.asarray(dataset)
+    return Index(
+        dataset=dataset,
+        dataset_norms=pairwise.row_norms(dataset),
+        graph=jnp.asarray(graph, jnp.int32),
+        metric=normalize_metric(metric),
+    )
+
+
+def _distances_to(dataset, dataset_norms, q, qnorm, ids, metric, compute_dtype):
+    """Batched query->nodes distances. q [B,d], ids [B,C] -> [B,C]."""
+    vecs = dataset[ids]  # [B, C, d]
+    dots = lax.dot_general(
+        q.astype(compute_dtype)[:, None, :],
+        vecs.astype(compute_dtype),
+        (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=pairwise.matmul_precision(compute_dtype),
+    )[:, 0, :]
+    if metric == DistanceType.InnerProduct:
+        return -dots  # min-space
+    return jnp.maximum(qnorm[:, None] + dataset_norms[ids] - 2.0 * dots, 0.0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "itopk", "search_width", "max_iter", "n_random", "metric", "compute_dtype",
+    ),
+)
+def _search_chunk(
+    dataset,
+    dataset_norms,
+    graph,
+    queries,
+    qids,
+    prefilter,
+    key,
+    k,
+    itopk,
+    search_width,
+    max_iter,
+    n_random,
+    metric,
+    compute_dtype,
+):
+    n, d = dataset.shape
+    deg = graph.shape[1]
+    B = queries.shape[0]
+    L = itopk
+    C = search_width * deg  # candidates per iteration
+    EXPLORED = jnp.int32(1 << 30)  # flag packed into id payload
+
+    qf = jnp.asarray(queries, jnp.float32)
+    qnorm = jnp.sum(qf * qf, axis=1)
+    qc = queries
+
+    def flt_mask(ids):
+        m = filt.passes(prefilter, qids[:, None], ids)
+        return None if m is None else m
+
+    # --- random init (num_random_samplings * itopk seeds) ---
+    n_seeds = max(L, n_random * L)
+    seeds = jax.random.randint(key, (B, n_seeds), 0, n)
+    seed_d = _distances_to(dataset, dataset_norms, qc, qnorm, seeds, metric, compute_dtype)
+    # dedup identical seeds (duplicates in the itopk would be returned twice)
+    s_idx = jnp.argsort(seeds, axis=1)
+    s_sorted = jnp.take_along_axis(seeds, s_idx, axis=1)
+    s_dup_adj = jnp.concatenate(
+        [jnp.zeros((B, 1), bool), s_sorted[:, 1:] == s_sorted[:, :-1]], axis=1
+    )
+    s_dup = jnp.zeros_like(s_dup_adj).at[jnp.arange(B)[:, None], s_idx].set(s_dup_adj)
+    seed_d = jnp.where(s_dup, jnp.inf, seed_d)
+    sv, si = lax.top_k(-seed_d, L)
+    state_v = -sv  # [B, L] ascending? top_k returns descending of -d => ascending d
+    state_id = jnp.take_along_axis(seeds, si, axis=1)  # unexplored (flag clear)
+
+    def cond(st):
+        state_v, state_id, it = st
+        unexplored = jnp.logical_and(
+            state_id >= 0, (state_id & EXPLORED) == 0
+        )
+        has_work = jnp.any(jnp.logical_and(unexplored, jnp.isfinite(state_v)))
+        return jnp.logical_and(it < max_iter, has_work)
+
+    def body(st):
+        state_v, state_id, it = st
+        raw_id = state_id & (EXPLORED - 1)
+        unexplored = jnp.logical_and(state_id >= 0, (state_id & EXPLORED) == 0)
+        # pick search_width best unexplored parents
+        pick_order = jnp.where(unexplored, state_v, jnp.inf)
+        _, psel = lax.top_k(-pick_order, search_width)  # positions in itopk
+        parent_ids = jnp.take_along_axis(raw_id, psel, axis=1)  # [B, W]
+        parent_valid = jnp.isfinite(jnp.take_along_axis(pick_order, psel, axis=1))
+        # mark explored
+        flags = jnp.zeros_like(state_id).at[
+            jnp.arange(B)[:, None], psel
+        ].set(jnp.where(parent_valid, EXPLORED, 0))
+        state_id = state_id | flags
+
+        # gather children
+        children = graph[jnp.where(parent_valid, parent_ids, 0)].reshape(B, C)
+        children = jnp.where(
+            jnp.repeat(parent_valid, deg, axis=1), children, -1
+        )
+        # dedup: against current itopk and within candidates
+        dup_itopk = jnp.any(children[:, :, None] == raw_id[:, None, :], axis=2)
+        c_sorted_idx = jnp.argsort(children, axis=1)
+        c_sorted = jnp.take_along_axis(children, c_sorted_idx, axis=1)
+        dup_adj = jnp.concatenate(
+            [jnp.zeros((B, 1), bool), c_sorted[:, 1:] == c_sorted[:, :-1]], axis=1
+        )
+        dup_within = jnp.zeros((B, C), bool).at[
+            jnp.arange(B)[:, None], c_sorted_idx
+        ].set(dup_adj)
+        invalid = jnp.logical_or(children < 0, jnp.logical_or(dup_itopk, dup_within))
+
+        cand_d = _distances_to(
+            dataset, dataset_norms, qc, qnorm, jnp.maximum(children, 0), metric, compute_dtype
+        )
+        cand_d = jnp.where(invalid, jnp.inf, cand_d)
+
+        # merge candidates into itopk
+        mv = jnp.concatenate([state_v, cand_d], axis=1)
+        mid = jnp.concatenate([state_id, children], axis=1)
+        tv, ti = lax.top_k(-mv, L)
+        return (-tv, jnp.take_along_axis(mid, ti, axis=1), it + 1)
+
+    state_v, state_id, _ = lax.while_loop(cond, body, (state_v, state_id, jnp.int32(0)))
+
+    raw_id = state_id & (EXPLORED - 1)
+    out_v = state_v
+    mask = flt_mask(jnp.maximum(raw_id, 0))
+    if mask is not None:
+        out_v = jnp.where(mask, out_v, jnp.inf)
+    out_v = jnp.where(state_id >= 0, out_v, jnp.inf)
+    tv, ti = lax.top_k(-out_v, k)
+    out_ids = jnp.take_along_axis(raw_id, ti, axis=1)
+    out_d = -tv
+    if metric == DistanceType.InnerProduct:
+        out_d = -out_d
+    if metric == DistanceType.L2SqrtExpanded:
+        out_d = jnp.where(jnp.isfinite(out_d), jnp.sqrt(jnp.maximum(out_d, 0.0)), out_d)
+    return out_d, out_ids
+
+
+def search(
+    index: Index,
+    queries,
+    k: int,
+    params: Optional[SearchParams] = None,
+    prefilter: Optional[filt.Prefilter] = None,
+    seed: int = 0,
+    **kw,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy beam search (search_single_cta_jit.cuh analog)."""
+    if params is None:
+        params = SearchParams(**kw)
+    if prefilter is None:
+        prefilter = filt.no_filter()
+    queries = jnp.asarray(queries)
+    nq = queries.shape[0]
+    itopk = max(params.itopk_size, k)
+    max_iter = params.max_iterations or max(10, itopk // max(params.search_width, 1) + 10)
+    key = jax.random.PRNGKey(seed)
+
+    chunk = int(min(params.query_chunk, max(8, nq)))
+    outs_d, outs_i = [], []
+    for s in range(0, nq, chunk):
+        q = queries[s : s + chunk]
+        cur = q.shape[0]
+        if cur < chunk:  # pad to the jitted chunk shape
+            q = jnp.pad(q, ((0, chunk - cur), (0, 0)))
+        qids = jnp.arange(s, s + chunk, dtype=jnp.int32)
+        qids = jnp.minimum(qids, nq - 1)
+        d, i = _search_chunk(
+            index.dataset,
+            index.dataset_norms,
+            index.graph,
+            q,
+            qids,
+            prefilter,
+            jax.random.fold_in(key, s),
+            int(k),
+            int(itopk),
+            int(params.search_width),
+            int(max_iter),
+            int(params.num_random_samplings),
+            index.metric,
+            params.compute_dtype,
+        )
+        outs_d.append(d[:cur])
+        outs_i.append(i[:cur])
+    return jnp.concatenate(outs_d, axis=0), jnp.concatenate(outs_i, axis=0)
+
+
+def extend(index: Index, new_vectors, params: Optional[SearchParams] = None) -> Index:
+    """Incremental insert (add_nodes.cuh:24 semantics).
+
+    For each new node: CAGRA-search 2*degree neighbors, take the best
+    ``degree`` as forward edges, then insert reverse edges into existing
+    rows by replacing those rows' worst-rank slots.
+    """
+    new_vectors = jnp.asarray(new_vectors, index.dataset.dtype)
+    deg = index.graph_degree
+    n_old = index.size
+    d, nbrs = search(
+        index, jnp.asarray(new_vectors, jnp.float32), min(2 * deg, n_old), params
+    )
+    fwd = nbrs[:, :deg].astype(jnp.int32)
+    n_new = new_vectors.shape[0]
+    new_ids = jnp.arange(n_old, n_old + n_new, dtype=jnp.int32)
+
+    # reverse edges: each new node u inserts itself into its best rev_per
+    # forward targets, replacing the last slot (lowest-priority edge).
+    rev_per = max(1, deg // 8)
+    targets = fwd[:, :rev_per]  # [n_new, rev_per]
+    graph_old = index.graph
+    # shift each target row left by one (drop worst edge), append new id
+    rows = targets.reshape(-1)
+    upd = jnp.concatenate(
+        [graph_old[rows][:, : deg - 1], jnp.repeat(new_ids, rev_per)[:, None]], axis=1
+    )
+    graph_old = graph_old.at[rows].set(upd)
+
+    dataset = jnp.concatenate([index.dataset, new_vectors], axis=0)
+    graph = jnp.concatenate([graph_old, fwd], axis=0)
+    return from_graph(dataset, graph, metric=index.metric)

@@ -1,0 +1,151 @@
+"""CAGRA graph optimization: detour-count pruning + reverse-edge merge.
+
+Reference: /root/reference/cpp/src/neighbors/detail/cagra/graph_core.cuh —
+``kern_sort`` (:77, neighbor lists by distance), fused detour-count prune
+``kern_fused_prune`` (:206-330), ``kern_make_rev_graph`` (:178), merge
+(:375). The CAGRA paper (arXiv:2308.15136) describes the rank-based detour
+counting: edge u→v is detourable through w when w precedes v in u's list
+and v appears in w's list — such edges are redundant 2-hop reachable.
+
+TPU-native: detour counts are computed chunk-wise with a scan over
+candidate ranks; membership tests against 2-hop lists are dense vectorized
+compares on the VPU (no hash tables). Reverse-graph construction is a
+sort-based grouped scatter (no atomics).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _detour_counts(graph: jnp.ndarray, chunk: int = 1024) -> jnp.ndarray:
+    """graph [n, K] (rank-sorted). Returns detour counts [n, K] int32.
+
+    count[u, i] = |{ j < i : graph[u, i] ∈ graph[graph[u, j]] }|
+    """
+    n, K = graph.shape
+    pad = (-n) % chunk
+    gp = jnp.pad(graph, ((0, pad), (0, 0)))
+
+    def chunk_fn(gu):  # [chunk, K]
+        two_hop = graph[gu]  # [chunk, K, K]
+
+        def rank_step(i):
+            v = jnp.take_along_axis(gu, jnp.full((gu.shape[0], 1), i), axis=1)  # [chunk,1]
+            # v in graph[w] for each w = gu[:, j]
+            member = jnp.any(two_hop == v[:, :, None], axis=2)  # [chunk, K]
+            j_lt_i = jnp.arange(K) < i
+            return jnp.sum(jnp.logical_and(member, j_lt_i[None, :]), axis=1)
+
+        counts = jax.vmap(rank_step, out_axes=1)(jnp.arange(K))
+        return counts.astype(jnp.int32)
+
+    counts = lax.map(chunk_fn, gp.reshape(-1, chunk, K))
+    return counts.reshape(-1, K)[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("out_degree",))
+def _prune_by_detour(graph: jnp.ndarray, counts: jnp.ndarray, out_degree: int):
+    """Keep out_degree edges per node with smallest (detour count, rank)."""
+    n, K = graph.shape
+    # counts <= K, so count*K + rank fits int32 comfortably
+    rank = jnp.arange(K, dtype=jnp.int32)[None, :]
+    key = counts.astype(jnp.int32) * K + rank
+    order = jnp.argsort(key, axis=1)[:, :out_degree]
+    return jnp.take_along_axis(graph, order, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("rev_degree",))
+def _reverse_graph(graph: jnp.ndarray, rev_degree: int):
+    """Reverse edges grouped per head node, best (lowest) rank first.
+
+    Returns (rev [n, rev_degree] int32, valid [n, rev_degree] bool).
+    Sort-based grouping replaces the reference's atomic scatter
+    (graph_core.cuh:178).
+    """
+    n, D = graph.shape
+    src = jnp.repeat(jnp.arange(n, dtype=jnp.int32)[:, None], D, axis=1).reshape(-1)
+    dst = graph.reshape(-1)
+    # order all edges by (dst, rank) — edges are already rank-ordered within
+    # each source row and reshape preserves that, so ONE stable sort by dst
+    # yields (dst, src-row-major) order; rank order within a dst group is
+    # whatever stable order the flattened layout had, which ranks earlier
+    # ranks of the same src first. For strict (dst, rank) lexicographic
+    # order use a stable sort on a rank-major flattened view.
+    rank = jnp.tile(jnp.arange(D, dtype=jnp.int32)[None, :], (n, 1)).reshape(-1)
+    o1 = jnp.argsort(rank, stable=True)
+    order = o1[jnp.argsort(dst[o1], stable=True)]
+    dst_s = dst[order]
+    src_s = src[order]
+    first = jnp.concatenate([jnp.array([True]), dst_s[1:] != dst_s[:-1]])
+    group_start_idx = jnp.where(first, jnp.arange(n * D), 0)
+    group_start = jax.lax.associative_scan(jnp.maximum, group_start_idx)
+    slot = jnp.arange(n * D) - group_start
+    keep = slot < rev_degree
+    # out-of-bounds row index for dropped writes => scatter-drop semantics
+    row = jnp.where(keep, dst_s, n).astype(jnp.int32)
+    col = jnp.where(keep, slot, 0).astype(jnp.int32)
+    rev = jnp.full((n, rev_degree), -1, jnp.int32).at[row, col].set(src_s, mode="drop")
+    return rev, rev >= 0
+
+
+@functools.partial(jax.jit, static_argnames=("out_degree",))
+def _merge_fwd_rev(fwd: jnp.ndarray, rev: jnp.ndarray, rev_valid: jnp.ndarray, out_degree: int):
+    """Interleave forward & reverse edges, dedup, keep out_degree.
+
+    Mirrors kern_merge_graph (graph_core.cuh:375): the final list prefers
+    forward edges by rank but injects reverse edges for connectivity.
+    """
+    n, Df = fwd.shape
+    Dr = rev.shape[1]
+    cand = jnp.concatenate([fwd, jnp.where(rev_valid, rev, -1)], axis=1)  # [n, Df+Dr]
+    # priority: interleave fwd rank i -> 2i, rev rank j -> 2j+1
+    pri = jnp.concatenate(
+        [2 * jnp.arange(Df, dtype=jnp.int32), 2 * jnp.arange(Dr, dtype=jnp.int32) + 1]
+    )[None, :]
+    pri = jnp.broadcast_to(pri, cand.shape)
+    invalid = cand < 0
+    # dedup: lexicographic (id, pri) sort via two stable passes (no int64)
+    C = cand.shape[1]
+    cand_key = jnp.where(invalid, jnp.int32(1 << 30), cand)
+    o1 = jnp.argsort(pri, axis=1, stable=True)
+    cand_o1 = jnp.take_along_axis(cand_key, o1, axis=1)
+    o2 = jnp.argsort(cand_o1, axis=1, stable=True)
+    order = jnp.take_along_axis(o1, o2, axis=1)
+    cand_s = jnp.take_along_axis(cand, order, axis=1)
+    pri_s = jnp.take_along_axis(pri, order, axis=1)
+    dup = jnp.concatenate(
+        [jnp.zeros((n, 1), bool), cand_s[:, 1:] == cand_s[:, :-1]], axis=1
+    )
+    pri_s = jnp.where(jnp.logical_or(dup, cand_s < 0), jnp.int32(2 * C + 7), pri_s)
+    keep_order = jnp.argsort(pri_s, axis=1)[:, :out_degree]
+    out = jnp.take_along_axis(cand_s, keep_order, axis=1)
+    # rows with fewer than out_degree unique candidates: fill from fwd
+    out = jnp.where(out >= 0, out, fwd[:, :out_degree])
+    return out
+
+
+def optimize(
+    knn_graph: jnp.ndarray,
+    out_degree: int,
+    detour_chunk: int = 1024,
+) -> jnp.ndarray:
+    """CAGRA graph optimization (graph::optimize, cagra_build.cuh:1929).
+
+    knn_graph: [n, K] neighbor ids sorted by distance (K = intermediate
+    degree). Returns the pruned fixed-degree graph [n, out_degree].
+    """
+    knn_graph = jnp.asarray(knn_graph, jnp.int32)
+    n, K = knn_graph.shape
+    if out_degree > K:
+        raise ValueError(f"out_degree {out_degree} > intermediate degree {K}")
+    counts = _detour_counts(knn_graph, chunk=min(detour_chunk, max(8, n)))
+    fwd = _prune_by_detour(knn_graph, counts, out_degree)
+    rev, rev_valid = _reverse_graph(fwd, out_degree)
+    return _merge_fwd_rev(fwd, rev, rev_valid, out_degree)

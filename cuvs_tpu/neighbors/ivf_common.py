@@ -1,0 +1,101 @@
+"""Shared IVF machinery: coarse search, list storage, postprocessing.
+
+Reference: cpp/src/neighbors/ivf_common.cuh (calc_chunk_indices,
+postprocess_neighbors/postprocess_distances) and the interleaved list
+layout of ivf_flat_build.cuh:80-143.
+
+TPU-native list storage: instead of CUDA's 32-row interleaved groups, the
+dataset is **sorted by list label** into one dense [n, ...] array with
+per-list offsets. A probe reads a static-width window
+``dynamic_slice(sorted, offsets[c], (W, ...))`` where W = max list size
+rounded to the lane width — dense storage (zero padding waste in HBM),
+static shapes for XLA, and validity masks derived from the sorted labels.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from cuvs_tpu.distance import pairwise
+from cuvs_tpu.distance.pairwise import DistanceType
+from cuvs_tpu.selection.select_k import select_k
+
+
+class SortedLists(NamedTuple):
+    """Dense sorted list storage shared by IVF-Flat/PQ/SQ."""
+
+    offsets: jnp.ndarray  # [n_lists] int32 start of each list
+    sizes: jnp.ndarray  # [n_lists] int32
+    labels: jnp.ndarray  # [n + W] int32 list id per sorted row (-1 pad)
+    ids: jnp.ndarray  # [n + W] int32 global row id (0 pad)
+
+
+def sort_by_label(labels: jnp.ndarray, n_lists: int, pad: int):
+    """Group rows by label. Returns (order [n], SortedLists with +pad rows)."""
+    labels = jnp.asarray(labels, jnp.int32)
+    n = labels.shape[0]
+    order = jnp.argsort(labels)
+    sorted_labels = labels[order]
+    sizes = jnp.zeros((n_lists,), jnp.int32).at[labels].add(1)
+    offsets = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(sizes)[:-1].astype(jnp.int32)]
+    )
+    lab_p = jnp.pad(sorted_labels, (0, pad), constant_values=-1)
+    ids_p = jnp.pad(order.astype(jnp.int32), (0, pad), constant_values=0)
+    return order, SortedLists(offsets=offsets, sizes=sizes, labels=lab_p, ids=ids_p)
+
+
+def round_window(max_size: int, multiple: int = 128) -> int:
+    return max(multiple, -(-int(max_size) // multiple) * multiple)
+
+
+def coarse_search(
+    queries_f32: jnp.ndarray,
+    centers: jnp.ndarray,
+    center_norms: jnp.ndarray,
+    n_probes: int,
+    metric: DistanceType,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Top-n_probes closest lists per query -> [nq, n_probes] int32.
+
+    GEMM + select_k, mirroring ivf_flat_search.cuh:148-187. For the L2
+    family the ranking only needs center norms (query norm is constant per
+    row); cosine ranks by normalized dot.
+    """
+    dots = pairwise._gemm(queries_f32, centers, compute_dtype)
+    if metric == DistanceType.InnerProduct:
+        score = dots
+        select_min = False
+    elif metric == DistanceType.CosineExpanded:
+        score = dots / jnp.maximum(center_norms[None, :], 1e-30)
+        select_min = False
+    else:  # L2 family: ||c||^2 - 2 q.c ranks equally to full L2
+        score = center_norms[None, :] - 2.0 * dots
+        select_min = True
+    _, probe_ids = select_k(score, n_probes, select_min=select_min)
+    return probe_ids
+
+
+def window_gather(sorted_arr: jnp.ndarray, starts: jnp.ndarray, window: int):
+    """vmapped dynamic_slice: rows [start_i : start_i+window] per i.
+
+    sorted_arr: [n+pad, ...]; starts: [b] int32. Returns [b, window, ...].
+    """
+
+    def one(start):
+        idx = (start,) + (0,) * (sorted_arr.ndim - 1)
+        return lax.dynamic_slice(sorted_arr, idx, (window,) + sorted_arr.shape[1:])
+
+    return jax.vmap(one)(starts)
+
+
+def postprocess_distances(dists: jnp.ndarray, metric: DistanceType) -> jnp.ndarray:
+    """Final metric transform (ivf_common.cuh:176 postprocess_distances)."""
+    if metric == DistanceType.L2SqrtExpanded:
+        return jnp.where(jnp.isfinite(dists), jnp.sqrt(jnp.maximum(dists, 0.0)), dists)
+    return dists

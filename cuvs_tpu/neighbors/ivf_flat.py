@@ -1,0 +1,297 @@
+"""IVF-Flat: inverted-file index over raw vectors.
+
+Reference: ``cuvs::neighbors::ivf_flat``
+(/root/reference/cpp/include/cuvs/neighbors/ivf_flat.hpp; build
+cpp/src/neighbors/ivf_flat/ivf_flat_build.cuh:394, search
+ivf_flat_search.cuh:41-309, fused interleaved scan
+ivf_flat_interleaved_scan_jit.cuh:423). Defaults mirror the reference:
+n_lists=1024, kmeans_n_iters=20, kmeans_trainset_fraction=0.5, n_probes=20.
+
+TPU-native design (see ivf_common): dataset rows are sorted by list into a
+dense array; a probe is a static-width dynamic-slice window + batched dot.
+The scan loops over probes with a running top-k merge, so peak memory is
+[nq, W] not [nq, n_probes, W]. ``adaptive_centers`` drifts centers to the
+exact centroid of list contents on extend (ivf_flat.hpp:36-47).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from cuvs_tpu.cluster import kmeans_balanced
+from cuvs_tpu.distance import pairwise
+from cuvs_tpu.distance.pairwise import DistanceType, normalize_metric
+from cuvs_tpu.neighbors import filters as filt
+from cuvs_tpu.neighbors import ivf_common as ivf
+from cuvs_tpu.selection.select_k import select_k
+
+
+@dataclasses.dataclass(frozen=True)
+class IndexParams:
+    """Mirrors ivf_flat::index_params (ivf_flat.hpp:28-66)."""
+
+    n_lists: int = 1024
+    metric: DistanceType = DistanceType.L2Expanded
+    kmeans_n_iters: int = 20
+    kmeans_trainset_fraction: float = 0.5
+    adaptive_centers: bool = False
+    add_data_on_build: bool = True
+    seed: int = 0
+
+    def __post_init__(self):
+        object.__setattr__(self, "metric", normalize_metric(self.metric))
+
+
+@dataclasses.dataclass(frozen=True)
+class SearchParams:
+    """Mirrors ivf_flat::search_params (ivf_flat.hpp:76)."""
+
+    n_probes: int = 20
+    compute_dtype: object = jnp.float32
+
+
+@flax.struct.dataclass
+class Index:
+    centers: jnp.ndarray  # [n_lists, d]
+    center_norms: jnp.ndarray  # [n_lists] (squared L2, or L2 for cosine)
+    sorted_data: jnp.ndarray  # [n + W, d] rows grouped by list
+    sorted_norms: jnp.ndarray  # [n + W] squared row norms
+    lists: ivf.SortedLists
+    metric: DistanceType = flax.struct.field(pytree_node=False, default=DistanceType.L2Expanded)
+    window: int = flax.struct.field(pytree_node=False, default=128)
+    n_rows: int = flax.struct.field(pytree_node=False, default=0)
+    adaptive_centers: bool = flax.struct.field(pytree_node=False, default=False)
+
+    @property
+    def n_lists(self) -> int:
+        return self.centers.shape[0]
+
+    @property
+    def dim(self) -> int:
+        return self.centers.shape[1]
+
+    @property
+    def size(self) -> int:
+        return self.n_rows
+
+
+def _center_norms(centers, metric):
+    if metric == DistanceType.CosineExpanded:
+        return pairwise.row_norms(centers, squared=False)
+    return pairwise.row_norms(centers, squared=True)
+
+
+def _pack(dataset, ids, labels, centers, metric, n_lists, adaptive):
+    """Assemble the index from labeled rows (shared by build/extend)."""
+    sizes_max = int(jnp.max(jnp.zeros((n_lists,), jnp.int32).at[labels].add(1)))
+    window = ivf.round_window(sizes_max)
+    order, lists = ivf.sort_by_label(labels, n_lists, pad=window)
+    # replace sorted ids (which index into `dataset`) with global ids
+    global_ids = jnp.pad(jnp.asarray(ids, jnp.int32)[order], (0, window), constant_values=0)
+    lists = lists._replace(ids=global_ids)
+    sorted_data = jnp.concatenate(
+        [dataset[order], jnp.zeros((window, dataset.shape[1]), dataset.dtype)], axis=0
+    )
+    sorted_norms = jnp.pad(pairwise.row_norms(sorted_data[: dataset.shape[0]]), (0, window))
+    return Index(
+        centers=centers,
+        center_norms=_center_norms(centers, metric),
+        sorted_data=sorted_data,
+        sorted_norms=sorted_norms,
+        lists=lists,
+        metric=metric,
+        window=window,
+        n_rows=int(dataset.shape[0]),
+        adaptive_centers=adaptive,
+    )
+
+
+def build(dataset, params: Optional[IndexParams] = None, **kw) -> Index:
+    """Train the coarse quantizer and populate lists (ivf_flat_build.cuh:394)."""
+    if params is None:
+        params = IndexParams(**kw)
+    dataset = jnp.asarray(dataset)
+    n = dataset.shape[0]
+    n_lists = min(params.n_lists, n)
+    trainset = jnp.asarray(dataset, jnp.float32)
+    centers = kmeans_balanced.fit(
+        trainset,
+        n_lists,
+        kmeans_balanced.BalancedParams(
+            n_clusters=n_lists,
+            n_iters=params.kmeans_n_iters,
+            trainset_fraction=params.kmeans_trainset_fraction,
+            seed=params.seed,
+        ),
+    )
+    if params.metric == DistanceType.CosineExpanded:
+        # cosine lists are built on normalized geometry
+        centers = centers / jnp.maximum(
+            jnp.linalg.norm(centers, axis=1, keepdims=True), 1e-30
+        )
+        normed = trainset / jnp.maximum(
+            jnp.linalg.norm(trainset, axis=1, keepdims=True), 1e-30
+        )
+        labels = kmeans_balanced.predict(normed, centers)
+    else:
+        labels = kmeans_balanced.predict(trainset, centers)
+    ids = jnp.arange(n, dtype=jnp.int32)
+    return _pack(dataset, ids, labels, centers, params.metric, n_lists, params.adaptive_centers)
+
+
+def extend(index: Index, new_vectors, new_ids=None) -> Index:
+    """Append vectors to their nearest lists (ivf_flat extend semantics)."""
+    new_vectors = jnp.asarray(new_vectors, index.sorted_data.dtype)
+    n_old = index.n_rows
+    n_new = new_vectors.shape[0]
+    if new_ids is None:
+        new_ids = jnp.arange(n_old, n_old + n_new, dtype=jnp.int32)
+    old_data = index.sorted_data[:n_old]
+    old_ids = index.lists.ids[:n_old]
+    old_labels = index.lists.labels[:n_old]
+    new_labels = kmeans_balanced.predict(jnp.asarray(new_vectors, jnp.float32), index.centers)
+    all_data = jnp.concatenate([old_data, new_vectors], axis=0)
+    all_ids = jnp.concatenate([old_ids, jnp.asarray(new_ids, jnp.int32)])
+    all_labels = jnp.concatenate([old_labels, new_labels])
+    centers = index.centers
+    if index.adaptive_centers:
+        k = index.n_lists
+        sums = jax.ops.segment_sum(jnp.asarray(all_data, jnp.float32), all_labels, k)
+        counts = jax.ops.segment_sum(jnp.ones_like(all_labels, jnp.float32), all_labels, k)
+        centers = jnp.where(
+            counts[:, None] > 0, sums / jnp.maximum(counts, 1.0)[:, None], centers
+        )
+    idx = _pack(
+        all_data, all_ids, all_labels, centers, index.metric, index.n_lists, index.adaptive_centers
+    )
+    return idx
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "n_probes", "metric", "window", "n_rows", "compute_dtype"),
+)
+def _search_impl(
+    centers,
+    center_norms,
+    sorted_data,
+    sorted_norms,
+    lists,
+    queries,
+    prefilter,
+    k,
+    n_probes,
+    metric,
+    window,
+    n_rows,
+    compute_dtype,
+):
+    nq, d = queries.shape
+    qf = jnp.asarray(queries, jnp.float32)
+    probe_ids = ivf.coarse_search(qf, centers, center_norms, n_probes, metric, compute_dtype)
+
+    min_close = metric != DistanceType.InnerProduct
+    if metric == DistanceType.CosineExpanded:
+        qnorm = jnp.sqrt(jnp.sum(qf * qf, axis=1))
+    elif metric == DistanceType.InnerProduct:
+        qnorm = jnp.zeros((nq,), jnp.float32)
+    else:
+        qnorm = jnp.sum(qf * qf, axis=1)
+    qid = jnp.arange(nq, dtype=jnp.int32)
+
+    qc = jnp.asarray(queries, compute_dtype)
+
+    def probe_step(carry, j):
+        best_v, best_i = carry
+        cluster = probe_ids[:, j]  # [nq]
+        starts = lists.offsets[cluster]
+        data_w = ivf.window_gather(sorted_data, starts, window)  # [nq, W, d]
+        ids_w = ivf.window_gather(lists.ids, starts, window)  # [nq, W]
+        lab_w = ivf.window_gather(lists.labels, starts, window)
+        norm_w = ivf.window_gather(sorted_norms, starts, window)
+
+        dots = lax.dot_general(
+            qc[:, None, :],
+            data_w.astype(compute_dtype),
+            (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=pairwise.matmul_precision(compute_dtype),
+        )[:, 0, :]  # [nq, W]
+
+        if metric == DistanceType.InnerProduct:
+            dist = dots
+            order = -dots
+        elif metric == DistanceType.CosineExpanded:
+            denom = jnp.maximum(qnorm[:, None] * jnp.sqrt(norm_w), 1e-30)
+            dist = 1.0 - dots / denom
+            order = dist
+        else:
+            dist = jnp.maximum(qnorm[:, None] + norm_w - 2.0 * dots, 0.0)
+            order = dist
+
+        valid = lab_w == cluster[:, None]
+        mask = filt.passes(prefilter, qid[:, None], ids_w)
+        if mask is not None:
+            valid = jnp.logical_and(valid, mask)
+        order = jnp.where(valid, order, jnp.inf)
+
+        tv, tl = lax.top_k(-order, min(k, window))
+        ti = jnp.take_along_axis(ids_w, tl, axis=1)
+        tv = -tv
+        mv = jnp.concatenate([best_v, tv], axis=1)
+        mi = jnp.concatenate([best_i, ti], axis=1)
+        sv, sidx = lax.top_k(-mv, k)
+        return ((-sv), jnp.take_along_axis(mi, sidx, axis=1)), None
+
+    init = (
+        jnp.full((nq, k), jnp.inf, jnp.float32),
+        jnp.zeros((nq, k), jnp.int32),
+    )
+    (order_v, best_i), _ = lax.scan(probe_step, init, jnp.arange(n_probes))
+
+    # recover true distances from the order values
+    if metric == DistanceType.InnerProduct:
+        best_v = -order_v
+    else:
+        best_v = order_v
+    best_v = ivf.postprocess_distances(best_v, metric)
+    return best_v, best_i
+
+
+def search(
+    index: Index,
+    queries,
+    k: int,
+    params: Optional[SearchParams] = None,
+    prefilter: Optional[filt.Prefilter] = None,
+    **kw,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """ANN search. Returns (distances [nq,k], neighbors [nq,k] global ids)."""
+    if params is None:
+        params = SearchParams(**kw)
+    if prefilter is None:
+        prefilter = filt.no_filter()
+    queries = jnp.asarray(queries)
+    n_probes = min(params.n_probes, index.n_lists)
+    return _search_impl(
+        index.centers,
+        index.center_norms,
+        index.sorted_data,
+        index.sorted_norms,
+        index.lists,
+        queries,
+        prefilter,
+        int(k),
+        int(n_probes),
+        index.metric,
+        index.window,
+        index.n_rows,
+        params.compute_dtype,
+    )

@@ -1,0 +1,453 @@
+"""IVF-PQ: inverted file with product-quantized residuals.
+
+Reference: ``cuvs::neighbors::ivf_pq``
+(/root/reference/cpp/include/cuvs/neighbors/ivf_pq.hpp; build
+cpp/src/neighbors/ivf_pq/ivf_pq_build.cuh — rotation :81-155,
+train_per_subset :328; search ivf_pq_search.cuh — select_clusters :61,
+ivfpq_search_worker :421 with the fused LUT-scan kernel). Index math:
+``code = PQ(rot_mat @ (x - center))`` (ivf_pq_build.cuh:81-155).
+Defaults mirror the reference: n_lists=1024, pq_bits=8, pq_dim=0 (auto
+heuristic, ivf_pq_index.cu:612-622), codebooks PER_SUBSPACE,
+max_train_points_per_pq_code=256.
+
+TPU-native design:
+  * rotation + residual + LUT construction are all MXU matmuls.
+  * PQ codebook training is ONE vmapped EM over all subspaces (the
+    reference launches a kmeans per subspace in a host loop).
+  * the scan uses the same dense sorted-list windows as ivf_flat; the ADC
+    accumulation Σ_s lut[s, code] is a flat gather per (query, window row)
+    that XLA vectorizes on the VPU; codes are stored unpacked uint8
+    (pq_bits ≤ 8 all take one lane — HBM parity with bit-packing can come
+    from a Pallas scan later).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from cuvs_tpu.cluster import kmeans_balanced
+from cuvs_tpu.distance import pairwise
+from cuvs_tpu.distance.pairwise import DistanceType, normalize_metric
+from cuvs_tpu.neighbors import filters as filt
+from cuvs_tpu.neighbors import ivf_common as ivf
+from cuvs_tpu.selection.select_k import select_k
+
+
+def calculate_pq_dim(dim: int) -> int:
+    """Auto pq_dim heuristic (ivf_pq_index.cu:612-622)."""
+    if dim >= 128:
+        dim //= 2
+    r = (dim // 32) * 32
+    if r > 0:
+        return r
+    r = 1
+    while (r << 1) <= dim:
+        r <<= 1
+    return r
+
+
+@dataclasses.dataclass(frozen=True)
+class IndexParams:
+    """Mirrors ivf_pq::index_params (ivf_pq.hpp:47-132)."""
+
+    n_lists: int = 1024
+    metric: DistanceType = DistanceType.L2Expanded
+    kmeans_n_iters: int = 20
+    kmeans_trainset_fraction: float = 0.5
+    pq_bits: int = 8
+    pq_dim: int = 0  # 0 = auto
+    force_random_rotation: bool = False
+    add_data_on_build: bool = True
+    max_train_points_per_pq_code: int = 256
+    seed: int = 0
+
+    def __post_init__(self):
+        object.__setattr__(self, "metric", normalize_metric(self.metric))
+        if not (4 <= self.pq_bits <= 8):
+            raise ValueError("pq_bits must be in [4, 8]")
+
+
+@dataclasses.dataclass(frozen=True)
+class SearchParams:
+    """Mirrors ivf_pq::search_params (ivf_pq.hpp:160-212)."""
+
+    n_probes: int = 20
+    lut_dtype: object = jnp.float32  # accuracy/speed knob for the LUT
+    internal_distance_dtype: object = jnp.float32
+    coarse_compute_dtype: object = jnp.float32
+    max_internal_batch_size: int = 4096
+
+
+@flax.struct.dataclass
+class Index:
+    centers: jnp.ndarray  # [n_lists, d]
+    center_norms: jnp.ndarray  # [n_lists]
+    centers_rot: jnp.ndarray  # [n_lists, rot_dim]
+    rotation: jnp.ndarray  # [rot_dim, d] (orthonormal columns)
+    pq_centers: jnp.ndarray  # [pq_dim, book, pq_len]
+    sorted_codes: jnp.ndarray  # [n + W, pq_dim] uint8
+    lists: ivf.SortedLists
+    metric: DistanceType = flax.struct.field(pytree_node=False, default=DistanceType.L2Expanded)
+    window: int = flax.struct.field(pytree_node=False, default=128)
+    n_rows: int = flax.struct.field(pytree_node=False, default=0)
+    pq_bits: int = flax.struct.field(pytree_node=False, default=8)
+
+    @property
+    def n_lists(self) -> int:
+        return self.centers.shape[0]
+
+    @property
+    def dim(self) -> int:
+        return self.centers.shape[1]
+
+    @property
+    def pq_dim(self) -> int:
+        return self.pq_centers.shape[0]
+
+    @property
+    def pq_len(self) -> int:
+        return self.pq_centers.shape[2]
+
+    @property
+    def pq_book_size(self) -> int:
+        return self.pq_centers.shape[1]
+
+    @property
+    def rot_dim(self) -> int:
+        return self.rotation.shape[0]
+
+    @property
+    def size(self) -> int:
+        return self.n_rows
+
+
+def _make_rotation(key, dim: int, rot_dim: int, force_random: bool) -> jnp.ndarray:
+    """[rot_dim, dim] with orthonormal columns; identity unless needed/forced
+    (ivf_pq_build.cuh:81-155 semantics)."""
+    if rot_dim == dim and not force_random:
+        return jnp.eye(dim, dtype=jnp.float32)
+    g = jax.random.normal(key, (max(rot_dim, dim), dim), jnp.float32)
+    q, _ = jnp.linalg.qr(g)  # q: [max, dim] orthonormal columns
+    return q[:rot_dim] if rot_dim <= q.shape[0] else jnp.pad(q, ((0, rot_dim - q.shape[0]), (0, 0)))
+
+
+@functools.partial(jax.jit, static_argnames=("book", "n_iters"))
+def _train_codebooks(key, res_sub, book, n_iters):
+    """vmapped EM over subspaces.
+
+    res_sub: [pq_dim, n_train, pq_len] residual subvectors.
+    Returns [pq_dim, book, pq_len].
+    """
+    pq_dim, n_train, pq_len = res_sub.shape
+
+    def em_one(key_s, xs):
+        idx = jax.random.choice(key_s, n_train, (book,), replace=False)
+        centers = xs[idx]
+
+        def step(c, _):
+            d = (
+                jnp.sum(xs * xs, 1)[:, None]
+                - 2.0 * xs @ c.T
+                + jnp.sum(c * c, 1)[None, :]
+            )
+            labels = jnp.argmin(d, axis=1)
+            sums = jax.ops.segment_sum(xs, labels, num_segments=book)
+            counts = jax.ops.segment_sum(jnp.ones((n_train,), jnp.float32), labels, book)
+            new = sums / jnp.maximum(counts, 1.0)[:, None]
+            return jnp.where(counts[:, None] > 0, new, c), None
+
+        centers, _ = lax.scan(step, centers, None, length=n_iters)
+        return centers
+
+    keys = jax.random.split(key, pq_dim)
+    return jax.vmap(em_one)(keys, res_sub)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _encode(residuals_rot, pq_centers, chunk=65536):
+    """residuals_rot [n, rot_dim] -> codes [n, pq_dim] uint8."""
+    n = residuals_rot.shape[0]
+    pq_dim, book, pq_len = pq_centers.shape
+    r = residuals_rot.reshape(n, pq_dim, pq_len)
+    cnorm = jnp.sum(pq_centers * pq_centers, axis=2)  # [pq_dim, book]
+
+    pad = (-n) % chunk
+    rp = jnp.pad(r, ((0, pad), (0, 0), (0, 0)))
+
+    def enc(rc):  # [chunk, pq_dim, pq_len]
+        dots = jnp.einsum(
+            "nsl,sbl->nsb", rc, pq_centers, preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
+        )
+        d = cnorm[None] - 2.0 * dots  # + ||r||² constant per (n,s): argmin-safe
+        return jnp.argmin(d, axis=2).astype(jnp.uint8)
+
+    codes = lax.map(enc, rp.reshape(-1, chunk, pq_dim, pq_len))
+    return codes.reshape(-1, pq_dim)[:n]
+
+
+def build(dataset, params: Optional[IndexParams] = None, **kw) -> Index:
+    if params is None:
+        params = IndexParams(**kw)
+    dataset = jnp.asarray(dataset)
+    n, dim = dataset.shape
+    n_lists = min(params.n_lists, n)
+    pq_dim = params.pq_dim or calculate_pq_dim(dim)
+    pq_len = -(-dim // pq_dim)
+    rot_dim = pq_dim * pq_len
+    book = 1 << params.pq_bits
+    key = jax.random.PRNGKey(params.seed)
+    k_rot, k_book, k_sub = jax.random.split(key, 3)
+
+    xf = jnp.asarray(dataset, jnp.float32)
+    centers = kmeans_balanced.fit(
+        xf,
+        n_lists,
+        kmeans_balanced.BalancedParams(
+            n_clusters=n_lists,
+            n_iters=params.kmeans_n_iters,
+            trainset_fraction=params.kmeans_trainset_fraction,
+            seed=params.seed,
+        ),
+    )
+    labels = kmeans_balanced.predict(xf, centers)
+    rotation = _make_rotation(k_rot, dim, rot_dim, params.force_random_rotation)
+    centers_rot = centers @ rotation.T
+
+    # residuals in rotated space
+    res = (xf - centers[labels]) @ rotation.T  # [n, rot_dim]
+
+    # train codebooks on a subsample (max_train_points_per_pq_code * book)
+    n_train = min(n, params.max_train_points_per_pq_code * book)
+    train_idx = jax.random.choice(k_sub, n, (n_train,), replace=False)
+    res_train = res[train_idx].reshape(n_train, pq_dim, pq_len).transpose(1, 0, 2)
+    pq_centers = _train_codebooks(k_book, res_train, book, 25)
+
+    codes = _encode(res, pq_centers)
+
+    window = ivf.round_window(int(jnp.max(jnp.zeros((n_lists,), jnp.int32).at[labels].add(1))))
+    order, lists = ivf.sort_by_label(labels, n_lists, pad=window)
+    sorted_codes = jnp.concatenate(
+        [codes[order], jnp.zeros((window, pq_dim), jnp.uint8)], axis=0
+    )
+    return Index(
+        centers=centers,
+        center_norms=pairwise.row_norms(centers),
+        centers_rot=centers_rot,
+        rotation=rotation,
+        pq_centers=pq_centers,
+        sorted_codes=sorted_codes,
+        lists=lists,
+        metric=params.metric,
+        window=window,
+        n_rows=int(n),
+        pq_bits=params.pq_bits,
+    )
+
+
+def extend(index: Index, new_vectors, new_ids=None) -> Index:
+    """Append vectors: assign to lists, encode residuals, re-sort."""
+    xf = jnp.asarray(new_vectors, jnp.float32)
+    n_old, n_new = index.n_rows, xf.shape[0]
+    if new_ids is None:
+        new_ids = jnp.arange(n_old, n_old + n_new, dtype=jnp.int32)
+    labels_new = kmeans_balanced.predict(xf, index.centers)
+    res = (xf - index.centers[labels_new]) @ index.rotation.T
+    codes_new = _encode(res, index.pq_centers)
+
+    old_codes = index.sorted_codes[:n_old]
+    old_ids = index.lists.ids[:n_old]
+    old_labels = index.lists.labels[:n_old]
+    all_codes = jnp.concatenate([old_codes, codes_new], axis=0)
+    all_ids = jnp.concatenate([old_ids, jnp.asarray(new_ids, jnp.int32)])
+    all_labels = jnp.concatenate([old_labels, labels_new])
+
+    n = n_old + n_new
+    window = ivf.round_window(
+        int(jnp.max(jnp.zeros((index.n_lists,), jnp.int32).at[all_labels].add(1)))
+    )
+    order, lists = ivf.sort_by_label(all_labels, index.n_lists, pad=window)
+    lists = lists._replace(
+        ids=jnp.pad(all_ids[order], (0, window), constant_values=0)
+    )
+    sorted_codes = jnp.concatenate(
+        [all_codes[order], jnp.zeros((window, index.pq_dim), jnp.uint8)], axis=0
+    )
+    return Index(
+        centers=index.centers,
+        center_norms=index.center_norms,
+        centers_rot=index.centers_rot,
+        rotation=index.rotation,
+        pq_centers=index.pq_centers,
+        sorted_codes=sorted_codes,
+        lists=lists,
+        metric=index.metric,
+        window=window,
+        n_rows=n,
+        pq_bits=index.pq_bits,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "n_probes", "metric", "window", "lut_dtype", "qchunk"),
+)
+def _search_impl(
+    index_arrays,
+    queries,
+    prefilter,
+    k,
+    n_probes,
+    metric,
+    window,
+    lut_dtype,
+    qchunk,
+):
+    (centers, center_norms, centers_rot, rotation, pq_centers, sorted_codes, lists) = index_arrays
+    nq_all, dim = queries.shape
+    pq_dim, book, pq_len = pq_centers.shape
+    cbook_norms = jnp.sum(pq_centers * pq_centers, axis=2)  # [pq_dim, book]
+
+    qf = jnp.asarray(queries, jnp.float32)
+    probe_all = ivf.coarse_search(qf, centers, center_norms, n_probes, metric)
+    qrot_all = qf @ rotation.T  # [nq, rot_dim]
+    qid_all = jnp.arange(nq_all, dtype=jnp.int32)
+
+    ip = metric == DistanceType.InnerProduct
+    sub_arange = jnp.arange(pq_dim, dtype=jnp.int32) * book  # LUT flattening
+
+    pad = (-nq_all) % qchunk
+    qrot_p = jnp.pad(qrot_all, ((0, pad), (0, 0)))
+    probe_p = jnp.pad(probe_all, ((0, pad), (0, 0)))
+    qid_p = jnp.pad(qid_all, (0, pad))
+    qf_p = jnp.pad(qf, ((0, pad), (0, 0)))
+
+    def chunk_fn(args):
+        qrot, probes, qid, q = args
+        nq = qrot.shape[0]
+        qsub = qrot.reshape(nq, pq_dim, pq_len)
+
+        def probe_step(carry, j):
+            best_v, best_i = carry
+            cluster = probes[:, j]
+            if ip:
+                # score = q.center + sum_s rot_q_s . c_code  (maximize)
+                base = jnp.sum(q * centers[cluster], axis=1)
+                qdots = jnp.einsum(
+                    "nsl,sbl->nsb", qsub, pq_centers,
+                    preferred_element_type=jnp.float32,
+                    precision=pairwise.matmul_precision(jnp.float32),
+                )
+                lut = -qdots  # min-space
+                base_order = -base
+            else:
+                # per-query LUT in rotated residual space:
+                # ||res_s - c||^2 with the constant ||res_s||^2 term added
+                # back via base_order for true squared distances
+                res = qsub - centers_rot[cluster].reshape(nq, pq_dim, pq_len)
+                dots = jnp.einsum(
+                    "nsl,sbl->nsb", res, pq_centers,
+                    preferred_element_type=jnp.float32,
+                    precision=pairwise.matmul_precision(jnp.float32),
+                )
+                lut = cbook_norms[None] - 2.0 * dots  # [nq, pq_dim, book]
+                base_order = jnp.sum(res * res, axis=(1, 2))
+            lut = lut.astype(lut_dtype)
+            lut_flat = lut.reshape(nq, pq_dim * book)
+
+            starts = lists.offsets[cluster]
+            codes_w = ivf.window_gather(sorted_codes, starts, window)  # [nq, W, pq_dim] u8
+            ids_w = ivf.window_gather(lists.ids, starts, window)
+            lab_w = ivf.window_gather(lists.labels, starts, window)
+
+            flat_idx = codes_w.astype(jnp.int32) + sub_arange[None, None, :]
+            scores = jax.vmap(lambda lt, ix: jnp.sum(lt[ix], axis=-1))(
+                lut_flat.astype(jnp.float32), flat_idx
+            )  # [nq, W]
+            order = scores + base_order[:, None]
+
+            valid = lab_w == cluster[:, None]
+            mask = filt.passes(prefilter, qid[:, None], ids_w)
+            if mask is not None:
+                valid = jnp.logical_and(valid, mask)
+            order = jnp.where(valid, order, jnp.inf)
+
+            tv, tl = lax.top_k(-order, min(k, window))
+            ti = jnp.take_along_axis(ids_w, tl, axis=1)
+            mv = jnp.concatenate([best_v, -tv], axis=1)
+            mi = jnp.concatenate([best_i, ti], axis=1)
+            sv, sidx = lax.top_k(-mv, k)
+            return ((-sv), jnp.take_along_axis(mi, sidx, axis=1)), None
+
+        init = (
+            jnp.full((nq, k), jnp.inf, jnp.float32),
+            jnp.zeros((nq, k), jnp.int32),
+        )
+        (bv, bi), _ = lax.scan(probe_step, init, jnp.arange(n_probes))
+        return bv, bi
+
+    bv, bi = lax.map(
+        chunk_fn,
+        (
+            qrot_p.reshape(-1, qchunk, qrot_p.shape[1]),
+            probe_p.reshape(-1, qchunk, n_probes),
+            qid_p.reshape(-1, qchunk),
+            qf_p.reshape(-1, qchunk, dim),
+        ),
+    )
+    bv = bv.reshape(-1, k)[:nq_all]
+    bi = bi.reshape(-1, k)[:nq_all]
+    if ip:
+        bv = -bv
+    bv = ivf.postprocess_distances(bv, metric)
+    return bv, bi
+
+
+def search(
+    index: Index,
+    queries,
+    k: int,
+    params: Optional[SearchParams] = None,
+    prefilter: Optional[filt.Prefilter] = None,
+    **kw,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """ANN search over PQ codes (approximate distances).
+
+    Use neighbors.refine for exact re-ranking (ivf_pq + refine pipeline,
+    SURVEY.md §3.4).
+    """
+    if params is None:
+        params = SearchParams(**kw)
+    if prefilter is None:
+        prefilter = filt.no_filter()
+    queries = jnp.asarray(queries)
+    nq = queries.shape[0]
+    n_probes = min(params.n_probes, index.n_lists)
+    qchunk = int(min(params.max_internal_batch_size, max(64, nq)))
+    arrays = (
+        index.centers,
+        index.center_norms,
+        index.centers_rot,
+        index.rotation,
+        index.pq_centers,
+        index.sorted_codes,
+        index.lists,
+    )
+    return _search_impl(
+        arrays,
+        queries,
+        prefilter,
+        int(k),
+        int(n_probes),
+        index.metric,
+        index.window,
+        params.lut_dtype,
+        qchunk,
+    )

@@ -1,0 +1,3 @@
+from cuvs_tpu.preprocessing import pca, quantize
+
+__all__ = ["pca", "quantize"]

@@ -1,0 +1,118 @@
+import numpy as np
+import pytest
+
+from cuvs_tpu.neighbors import cagra, filters, graph_core, knn_graph
+from tests.utils import naive_knn, calc_recall, make_blobs
+
+RNG = np.random.default_rng(21)
+
+
+def _data(n=10000, dim=32, nq=100):
+    # CAGRA needs a *connected* knn graph: well-separated blob islands are
+    # unreachable from random seeds (the reference addresses this with the
+    # guarantee_connectivity MST option). Use one broad cloud, as real
+    # embedding datasets are connected.
+    x = (RNG.standard_normal((n, dim)) * 2.0).astype(np.float32)
+    q = (RNG.standard_normal((nq, dim)) * 2.0).astype(np.float32)
+    return x, q
+
+
+def test_knn_graph_exact():
+    x, _ = _data(2000, 16, 1)
+    nbrs, dists = knn_graph.build_knn_graph(x, 8, algo="brute_force")
+    gtd, gti = naive_knn(x, x, 9)
+    # drop self column from ground truth
+    gt = np.array([[j for j in row if j != i][:8] for i, row in enumerate(gti)])
+    match = (np.asarray(nbrs) == gt).mean()
+    assert match > 0.98, match
+    nbrs_np = np.asarray(nbrs)
+    assert not (nbrs_np == np.arange(2000)[:, None]).any(), "self edges remain"
+
+
+def test_graph_optimize_shapes_and_validity():
+    x, _ = _data(3000, 16, 1)
+    nbrs, _ = knn_graph.build_knn_graph(x, 32, algo="brute_force")
+    g = np.asarray(graph_core.optimize(nbrs, 16))
+    assert g.shape == (3000, 16)
+    assert (g >= 0).all() and (g < 3000).all()
+    assert not (g == np.arange(3000)[:, None]).any(), "self edges"
+    # rows have unique neighbors
+    for r in RNG.integers(0, 3000, 20):
+        assert len(set(g[r])) == 16
+
+
+def test_detour_counts_small():
+    # hand-built graph: node 0 -> [1, 2]; node 1 -> [2, 3]; edge 0->2 has a
+    # detour through 1 (1 earlier in 0's list, 2 in 1's list)
+    g = np.array([[1, 2], [2, 3], [3, 0], [0, 1]], np.int32)
+    counts = np.asarray(graph_core._detour_counts(g, chunk=4))
+    assert counts[0, 0] == 0  # first-rank edges never have detours
+    assert counts[0, 1] == 1  # 0->2 detourable via 1
+
+
+@pytest.mark.parametrize("build_algo", ["brute_force", "ivf_pq"])
+def test_recall(build_algo):
+    x, q = _data()
+    idx = cagra.build(
+        x, intermediate_graph_degree=64, graph_degree=32, build_algo=build_algo, seed=0
+    )
+    d, i = cagra.search(idx, q, 10, itopk_size=64)
+    gtd, gti = naive_knn(q, x, 10)
+    recall = calc_recall(np.asarray(i), gti, np.asarray(d), gtd)
+    assert recall >= 0.9, (build_algo, recall)
+
+
+def test_itopk_improves_recall():
+    x, q = _data(8000, 32, 50)
+    idx = cagra.build(x, intermediate_graph_degree=48, graph_degree=24, seed=0)
+    gtd, gti = naive_knn(q, x, 10)
+    r = {}
+    for itopk in (16, 64, 128):
+        _, i = cagra.search(idx, q, 10, itopk_size=itopk)
+        r[itopk] = calc_recall(np.asarray(i), gti)
+    assert r[128] >= r[16] - 0.02
+    assert r[128] >= 0.9, r
+
+
+def test_prefilter():
+    x, q = _data(4000, 16, 20)
+    keep = RNG.random(4000) > 0.3
+    idx = cagra.build(x, intermediate_graph_degree=48, graph_degree=24, seed=0)
+    d, i = cagra.search(idx, q, 10, prefilter=filters.from_mask(keep))
+    i, d = np.asarray(i), np.asarray(d)
+    valid = np.isfinite(d)
+    assert keep[i[valid]].all()
+    kept = np.where(keep)[0]
+    gtd, gtl = naive_knn(q, x[kept], 10)
+    assert calc_recall(i, kept[gtl]) >= 0.85
+
+
+def test_no_duplicate_results():
+    x, q = _data(3000, 16, 30)
+    idx = cagra.build(x, intermediate_graph_degree=48, graph_degree=24, seed=0)
+    _, i = cagra.search(idx, q, 10)
+    i = np.asarray(i)
+    for row in i:
+        assert len(set(row.tolist())) == len(row), row
+
+
+def test_from_graph_roundtrip():
+    x, q = _data(2000, 16, 10)
+    idx = cagra.build(x, intermediate_graph_degree=32, graph_degree=16, seed=0)
+    idx2 = cagra.from_graph(x, np.asarray(idx.graph))
+    d1, i1 = cagra.search(idx, q, 5)
+    d2, i2 = cagra.search(idx2, q, 5)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_extend():
+    x, q = _data(5000, 16, 30)
+    idx = cagra.build(x[:4000], intermediate_graph_degree=48, graph_degree=24, seed=0)
+    idx = cagra.extend(idx, x[4000:])
+    assert idx.size == 5000
+    gtd, gti = naive_knn(q, x, 10)
+    _, i = cagra.search(idx, q, 10, itopk_size=96)
+    assert calc_recall(np.asarray(i), gti) >= 0.85
+    # new nodes are findable: search for them exactly
+    _, i2 = cagra.search(idx, x[4500:4510], 1, itopk_size=64)
+    assert (np.asarray(i2).ravel() == np.arange(4500, 4510)).mean() >= 0.8

@@ -1,0 +1,108 @@
+import numpy as np
+import pytest
+
+from cuvs_tpu.neighbors import ivf_pq, refine, filters
+from tests.utils import naive_knn, calc_recall, make_blobs
+
+RNG = np.random.default_rng(9)
+
+
+def _data(n=20000, dim=64, nq=100):
+    x = make_blobs(RNG, n, dim, n_centers=100)
+    q = make_blobs(RNG, nq, dim, n_centers=100)
+    return x, q
+
+
+def test_calculate_pq_dim():
+    assert ivf_pq.calculate_pq_dim(128) == 64
+    assert ivf_pq.calculate_pq_dim(96) == 96 // 32 * 32
+    assert ivf_pq.calculate_pq_dim(960) == 480  # 960/2=480, already /32
+    assert ivf_pq.calculate_pq_dim(20) == 16
+    assert ivf_pq.calculate_pq_dim(7) == 4
+
+
+def test_recall_l2():
+    x, q = _data()
+    idx = ivf_pq.build(x, n_lists=64, pq_dim=32, seed=0)
+    d, i = ivf_pq.search(idx, q, 10, n_probes=32)
+    gtd, gti = naive_knn(q, x, 10)
+    # raw ADC ranking on tightly-clustered blobs scrambles near-ties; the
+    # refine pipeline below is the real quality gate (cuvs tests do the same)
+    recall = calc_recall(np.asarray(i), gti)
+    assert recall >= 0.65, recall
+
+
+def test_recall_with_refine():
+    x, q = _data()
+    idx = ivf_pq.build(x, n_lists=64, pq_dim=32, seed=0)
+    d, i = ivf_pq.search(idx, q, 40, n_probes=32)
+    rd, ri = refine.refine(x, q, i, 10)
+    gtd, gti = naive_knn(q, x, 10)
+    recall = calc_recall(np.asarray(ri), gti)
+    assert recall >= 0.95, recall
+    # refine distances are exact
+    sel = np.asarray(rd)
+    full_d = np.take_along_axis(
+        (q * q).sum(1)[:, None] + (x * x).sum(1)[None, :] - 2 * q @ x.T,
+        np.asarray(ri),
+        axis=1,
+    )
+    np.testing.assert_allclose(sel, np.maximum(full_d, 0), rtol=1e-3, atol=1e-2)
+
+
+def test_recall_inner_product():
+    x, q = _data()
+    idx = ivf_pq.build(x, n_lists=64, pq_dim=32, metric="inner_product", seed=0)
+    d, i = ivf_pq.search(idx, q, 30, n_probes=48)
+    gtd, gti = naive_knn(q, x, 10, metric="inner_product")
+    rd, ri = refine.refine(x, q, i, 10, metric="inner_product")
+    recall = calc_recall(np.asarray(ri), gti)
+    assert recall >= 0.85, recall
+
+
+def test_pq_bits_tradeoff():
+    x, q = _data(10000, 32, 50)
+    gtd, gti = naive_knn(q, x, 10)
+    recalls = {}
+    for bits in (4, 8):
+        idx = ivf_pq.build(x, n_lists=32, pq_dim=16, pq_bits=bits, seed=0)
+        _, i = ivf_pq.search(idx, q, 10, n_probes=32)
+        recalls[bits] = calc_recall(np.asarray(i), gti)
+    assert recalls[8] >= recalls[4] - 0.02
+    assert recalls[8] >= 0.75
+
+
+def test_rotation_dim_not_divisible():
+    x, q = _data(5000, 30, 20)  # 30 not divisible by pq_dim=8
+    idx = ivf_pq.build(x, n_lists=16, pq_dim=8, seed=0)
+    assert idx.rot_dim == 32
+    d, i = ivf_pq.search(idx, q, 40, n_probes=16)
+    rd, ri = refine.refine(x, q, i, 5)
+    gtd, gti = naive_knn(q, x, 5)
+    assert calc_recall(np.asarray(ri), gti) >= 0.9
+
+
+def test_extend():
+    x, q = _data(8000, 32, 30)
+    idx = ivf_pq.build(x[:5000], n_lists=32, pq_dim=16, seed=0)
+    idx = ivf_pq.extend(idx, x[5000:])
+    assert idx.size == 8000
+    d, i = ivf_pq.search(idx, q, 40, n_probes=32)
+    rd, ri = refine.refine(x, q, i, 10)
+    gtd, gti = naive_knn(q, x, 10)
+    assert calc_recall(np.asarray(ri), gti) >= 0.9
+
+
+def test_prefilter():
+    x, q = _data(5000, 32, 20)
+    keep = RNG.random(5000) > 0.5
+    idx = ivf_pq.build(x, n_lists=32, pq_dim=16, seed=0)
+    d, i = ivf_pq.search(idx, q, 10, n_probes=32, prefilter=filters.from_mask(keep))
+    i, d = np.asarray(i), np.asarray(d)
+    assert keep[i[np.isfinite(d)]].all()
+
+
+def test_refine_rejects_bad_k():
+    x, q = _data(100, 8, 2)
+    with pytest.raises(ValueError):
+        refine.refine(x, q, np.zeros((2, 5), np.int32), 10)

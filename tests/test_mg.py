@@ -1,0 +1,79 @@
+"""Multi-chip tests on the 8-device virtual CPU mesh (conftest sets
+xla_force_host_platform_device_count=8), mirroring the reference's
+"SNMG tests on whatever local devices exist" strategy (SURVEY.md §4)."""
+
+import jax
+import numpy as np
+import pytest
+
+from cuvs_tpu import mg
+from cuvs_tpu.neighbors import filters
+from tests.utils import naive_knn, calc_recall, make_blobs
+
+RNG = np.random.default_rng(41)
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("algo", ["brute_force", "ivf_flat", "cagra"])
+def test_sharded_search(algo):
+    n = 8000
+    x = (RNG.standard_normal((n, 24)) * 2).astype(np.float32)
+    q = (RNG.standard_normal((64, 24)) * 2).astype(np.float32)
+    kw = {}
+    if algo == "ivf_flat":
+        kw = dict(n_lists=16, seed=0)
+    elif algo == "cagra":
+        kw = dict(intermediate_graph_degree=48, graph_degree=24, seed=0)
+    idx = mg.build(x, algo=algo, mode="sharded", **kw)
+    skw = {}
+    if algo == "ivf_flat":
+        skw = dict(n_probes=16)
+    d, i = mg.search(idx, q, 10, **skw)
+    gtd, gti = naive_knn(q, x, 10)
+    recall = calc_recall(np.asarray(i), gti, np.asarray(d), gtd)
+    floor = {"brute_force": 0.999, "ivf_flat": 0.999, "cagra": 0.85}[algo]
+    assert recall >= floor, (algo, recall)
+
+
+def test_sharded_matches_single_for_bf():
+    n = 4003  # deliberately not divisible by 8
+    x = make_blobs(RNG, n, 16)
+    q = make_blobs(RNG, 20, 16)
+    idx = mg.build(x, algo="brute_force", mode="sharded")
+    d, i = mg.search(idx, q, 10)
+    gtd, gti = naive_knn(q, x, 10)
+    np.testing.assert_allclose(np.asarray(d), gtd, rtol=1e-3, atol=1e-3)
+    assert calc_recall(np.asarray(i), gti) >= 0.999
+
+
+def test_replicated_search():
+    x = make_blobs(RNG, 4000, 16)
+    q = make_blobs(RNG, 100, 16)
+    idx = mg.build(x, algo="brute_force", mode="replicated")
+    d, i = mg.search(idx, q, 10)
+    gtd, gti = naive_knn(q, x, 10)
+    assert calc_recall(np.asarray(i), gti) >= 0.999
+
+
+def test_sharded_prefilter():
+    x = make_blobs(RNG, 3000, 16)
+    q = make_blobs(RNG, 16, 16)
+    keep = RNG.random(3000) > 0.5
+    idx = mg.build(x, algo="brute_force", mode="sharded")
+    d, i = mg.search(idx, q, 10, prefilter=filters.from_mask(keep))
+    i, d = np.asarray(i), np.asarray(d)
+    assert keep[i[np.isfinite(d)]].all()
+
+
+def test_mg_kmeans_matches_quality():
+    from cuvs_tpu.cluster import kmeans
+
+    x = make_blobs(RNG, 8000, 16, n_centers=8)
+    centers_mg, inertia_mg = mg.kmeans_fit(x, 8, seed=1)
+    _, _, inertia_sg, _ = kmeans.fit(x, n_clusters=8, seed=1)
+    assert centers_mg.shape == (8, 16)
+    # same init & math => same quality (allow small slack for reduction order)
+    assert float(inertia_mg) <= float(inertia_sg) * 1.05
