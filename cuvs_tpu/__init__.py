@@ -14,7 +14,7 @@ jitted beam search, and shard_map collectives instead of NCCL.
 
 __version__ = "0.1.0"
 
-from cuvs_tpu import core, distance, selection, cluster, neighbors, preprocessing
+from cuvs_tpu import core, distance, selection, cluster, neighbors, preprocessing, stats
 
 __all__ = [
     "core",
@@ -23,5 +23,6 @@ __all__ = [
     "cluster",
     "neighbors",
     "preprocessing",
+    "stats",
     "__version__",
 ]

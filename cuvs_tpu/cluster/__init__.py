@@ -1,3 +1,3 @@
-from cuvs_tpu.cluster import kmeans, kmeans_balanced
+from cuvs_tpu.cluster import agglomerative, kmeans, kmeans_balanced, spectral
 
-__all__ = ["kmeans", "kmeans_balanced"]
+__all__ = ["agglomerative", "kmeans", "kmeans_balanced", "spectral"]

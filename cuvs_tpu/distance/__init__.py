@@ -6,6 +6,7 @@ from cuvs_tpu.distance.pairwise import (
     row_norms,
 )
 from cuvs_tpu.distance.fused_l2_nn import fused_l2_argmin
+from cuvs_tpu.distance import kernels
 
 __all__ = [
     "DistanceType",
@@ -14,4 +15,5 @@ __all__ = [
     "normalize_metric",
     "row_norms",
     "fused_l2_argmin",
+    "kernels",
 ]

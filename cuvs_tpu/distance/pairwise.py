@@ -123,11 +123,14 @@ def row_norms(x, squared: bool = True) -> jnp.ndarray:
 def matmul_precision(compute_dtype):
     """MXU precision matching the requested compute dtype.
 
-    TPU f32 matmuls default to bf16 passes; HIGHEST forces true fp32
-    (3-pass) when the caller asked for float32 accuracy. For bfloat16
-    compute the inputs are cast and DEFAULT single-pass bf16 is used.
+    TPU f32 matmuls DEFAULT to one bf16 pass (~1% relative error — too
+    loose for distance math). HIGH = 3 bf16 passes ≈ tf32-grade accuracy
+    at ~1/3 peak, the same trade the reference makes with TF32 CUTLASS
+    kernels. HIGHEST (6 passes) costs another 2x and is unnecessary for
+    ranking. For bfloat16 compute the inputs are cast and the single-pass
+    DEFAULT is used.
     """
-    return lax.Precision.HIGHEST if compute_dtype == jnp.float32 else lax.Precision.DEFAULT
+    return lax.Precision.HIGH if compute_dtype == jnp.float32 else lax.Precision.DEFAULT
 
 
 def _gemm(x, y, compute_dtype):

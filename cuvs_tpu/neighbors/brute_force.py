@@ -27,7 +27,7 @@ from jax import lax
 from cuvs_tpu.distance import pairwise
 from cuvs_tpu.distance.pairwise import DistanceType, normalize_metric, is_min_close
 from cuvs_tpu.neighbors import filters as filt
-from cuvs_tpu.selection.select_k import select_k
+from cuvs_tpu.selection.select_k import select_k, topk
 
 
 @flax.struct.dataclass
@@ -82,10 +82,13 @@ def _tile_distances(metric, q, qn, tile, tile_norms, metric_arg, compute_dtype):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "metric", "metric_arg", "tile_size", "chunk", "compute_dtype"),
+    static_argnames=(
+        "k", "metric", "metric_arg", "tile_size", "chunk", "compute_dtype", "recall_target",
+    ),
 )
 def _search_impl(
-    dataset, norms, queries, prefilter, k, metric, metric_arg, tile_size, chunk, compute_dtype
+    dataset, norms, queries, prefilter, k, metric, metric_arg, tile_size, chunk,
+    compute_dtype, recall_target,
 ):
     n, d = dataset.shape
     nq = queries.shape[0]
@@ -94,13 +97,10 @@ def _search_impl(
     n_tiles = -(-n // tile_size)
     pad = n_tiles * tile_size - n
     data_p = jnp.pad(dataset, ((0, pad), (0, 0)))
-    tiles = data_p.reshape(n_tiles, tile_size, d)
     if norms is not None:
-        norm_tiles = jnp.pad(norms, ((0, pad),)).reshape(n_tiles, tile_size)
+        norms_p = jnp.pad(norms, ((0, pad),))
     else:
-        norm_tiles = jnp.zeros((n_tiles, tile_size), jnp.float32)
-    # validity of padded rows
-    row_ids = jnp.arange(n_tiles * tile_size, dtype=jnp.int32).reshape(n_tiles, tile_size)
+        norms_p = jnp.zeros((n + pad,), jnp.float32)
 
     # query norms for expanded metrics
     qf = jnp.asarray(queries, jnp.float32)
@@ -115,41 +115,65 @@ def _search_impl(
     qp = jnp.pad(queries, ((0, qpad), (0, 0)))
     qnp = jnp.pad(qnorms, ((0, qpad),))
     qidp = jnp.arange(nq + qpad, dtype=jnp.int32)
-
     kk = min(k, tile_size)
 
-    def chunk_fn(args):
-        qc, qn, qid = args  # [B, d], [B], [B]
+    def block(qc, qn, qid, tile, tnorms, ids):
+        """Distances of one [B, tile] block -> per-block top-k."""
+        dist = _tile_distances(metric, qc, qn, tile, tnorms, metric_arg, compute_dtype)
+        order = dist if min_close else -dist
+        valid = ids[None, :] < n
+        mask = filt.passes(prefilter, qid[:, None], jnp.minimum(ids, n - 1)[None, :])
+        if mask is not None:
+            valid = jnp.logical_and(valid, mask)
+        order = jnp.where(valid, order, jnp.inf)
+        tv, ti_local = topk(order, kk, True, recall_target)
+        return tv, ids[ti_local]
 
-        def tile_step(carry, xs):
-            best_v, best_i = carry
-            tile, tnorms, ids = xs
-            dist = _tile_distances(metric, qc, qn, tile, tnorms, metric_arg, compute_dtype)
-            order = dist if min_close else -dist
-            valid = (ids[None, :] < n)
-            mask = filt.passes(prefilter, qid[:, None], jnp.minimum(ids, n - 1)[None, :])
-            if mask is not None:
-                valid = jnp.logical_and(valid, mask)
-            order = jnp.where(valid, order, jnp.inf)
-            tv, ti_local = lax.top_k(-order, kk)
-            tv = -tv
-            ti = ids[ti_local]
-            # merge with running best
-            mv = jnp.concatenate([best_v, tv], axis=1)
-            mi = jnp.concatenate([best_i, ti], axis=1)
-            sv, sidx = lax.top_k(-mv, k)
-            return (-sv, jnp.take_along_axis(mi, sidx, axis=1)), None
+    if n_tiles == 1:
+        # single-pass peak-FLOPs path (TPU-KNN design): one matmul block
+        # per query chunk + one selection, no merge tree
+        ids = jnp.arange(n + pad, dtype=jnp.int32)
 
-        init = (
-            jnp.full((qc.shape[0], k), jnp.inf, jnp.float32),
-            jnp.zeros((qc.shape[0], k), jnp.int32),
+        def chunk_fn(args):
+            qc, qn, qid = args
+            return block(qc, qn, qid, data_p, norms_p, ids)
+
+        bv, bi = lax.map(
+            chunk_fn, (qp.reshape(-1, chunk, d), qnp.reshape(-1, chunk), qidp.reshape(-1, chunk))
         )
-        (bv, bi), _ = lax.scan(tile_step, init, (tiles, norm_tiles, row_ids))
-        return bv, bi
+    else:
+        tiles = data_p.reshape(n_tiles, tile_size, d)
+        norm_tiles = norms_p.reshape(n_tiles, tile_size)
+        row_ids = jnp.arange(n_tiles * tile_size, dtype=jnp.int32).reshape(n_tiles, tile_size)
 
-    bv, bi = lax.map(chunk_fn, (qp.reshape(-1, chunk, d), qnp.reshape(-1, chunk), qidp.reshape(-1, chunk)))
-    bv = bv.reshape(-1, k)[:nq]
-    bi = bi.reshape(-1, k)[:nq]
+        def chunk_fn(args):
+            qc, qn, qid = args
+
+            def tile_step(carry, xs):
+                best_v, best_i = carry
+                tile, tnorms, ids = xs
+                tv, ti = block(qc, qn, qid, tile, tnorms, ids)
+                mv = jnp.concatenate([best_v, tv], axis=1)
+                mi = jnp.concatenate([best_i, ti], axis=1)
+                sv, sidx = lax.top_k(-mv, k)
+                return (-sv, jnp.take_along_axis(mi, sidx, axis=1)), None
+
+            init = (
+                jnp.full((qc.shape[0], k), jnp.inf, jnp.float32),
+                jnp.zeros((qc.shape[0], k), jnp.int32),
+            )
+            (bv, bi), _ = lax.scan(tile_step, init, (tiles, norm_tiles, row_ids))
+            return bv, bi
+
+        bv, bi = lax.map(
+            chunk_fn, (qp.reshape(-1, chunk, d), qnp.reshape(-1, chunk), qidp.reshape(-1, chunk))
+        )
+
+    bv = bv.reshape(-1, bv.shape[-1])[:nq]
+    bi = bi.reshape(-1, bi.shape[-1])[:nq]
+    if bv.shape[1] < k:  # n < k padding
+        bv = jnp.pad(bv, ((0, 0), (0, k - bv.shape[1])), constant_values=jnp.inf)
+        bi = jnp.pad(bi, ((0, 0), (0, k - bi.shape[1])))
 
     # postprocess (reference postprocess_distances semantics)
     if metric == DistanceType.L2SqrtExpanded:
@@ -164,20 +188,27 @@ def search(
     queries,
     k: int,
     prefilter: Optional[filt.Prefilter] = None,
-    tile_size: int = 8192,
+    tile_size: Optional[int] = None,
     query_chunk: int = 1024,
     compute_dtype=jnp.float32,
+    recall_target: Optional[float] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact k-NN search. Returns (distances [nq,k], neighbors [nq,k] int32).
 
-    Filtered-out / padded slots carry +inf (-inf for InnerProduct).
+    ``recall_target < 1.0`` switches the selection to the TPU-approximate
+    partial reduction (exact on CPU). Filtered-out / padded slots carry
+    +inf (-inf for InnerProduct). ``tile_size`` defaults to the whole
+    dataset when the [chunk, n] block fits in ~512 MB, else column tiles.
     """
     queries = jnp.asarray(queries)
     nq = queries.shape[0]
     if prefilter is None:
         prefilter = filt.no_filter()
-    tile_size = int(min(tile_size, max(128, index.size)))
     query_chunk = int(min(query_chunk, max(8, nq)))
+    if tile_size is None:
+        budget_cols = max(8192, (512 * 1024 * 1024 // 4) // max(query_chunk, 1))
+        tile_size = min(index.size, budget_cols)
+    tile_size = int(min(tile_size, max(128, index.size)))
     return _search_impl(
         index.dataset,
         index.norms,
@@ -189,4 +220,5 @@ def search(
         tile_size,
         query_chunk,
         compute_dtype,
+        None if recall_target is None else float(recall_target),
     )

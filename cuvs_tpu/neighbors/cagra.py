@@ -52,6 +52,8 @@ class IndexParams:
     ivf_pq_params: Optional[ivfpq.IndexParams] = None
     refine_ratio: float = 2.0
     seed: int = 0
+    build_compute_dtype: object = None  # e.g. jnp.bfloat16 for 8x faster graphs
+    build_recall_target: object = None  # approx selection during graph build
 
     def __post_init__(self):
         object.__setattr__(self, "metric", normalize_metric(self.metric))
@@ -106,6 +108,8 @@ def build(dataset, params: Optional[IndexParams] = None, **kw) -> Index:
         ivf_pq_params=params.ivf_pq_params,
         refine_ratio=params.refine_ratio,
         seed=params.seed,
+        compute_dtype=params.build_compute_dtype,
+        recall_target=params.build_recall_target,
     )
     graph = graph_core.optimize(neighbors, gdeg)
     return from_graph(dataset, graph, metric=params.metric)

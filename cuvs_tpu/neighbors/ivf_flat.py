@@ -30,7 +30,7 @@ from cuvs_tpu.distance import pairwise
 from cuvs_tpu.distance.pairwise import DistanceType, normalize_metric
 from cuvs_tpu.neighbors import filters as filt
 from cuvs_tpu.neighbors import ivf_common as ivf
-from cuvs_tpu.selection.select_k import select_k
+from cuvs_tpu.selection.select_k import select_k, topk
 
 
 @dataclasses.dataclass(frozen=True)
@@ -51,10 +51,14 @@ class IndexParams:
 
 @dataclasses.dataclass(frozen=True)
 class SearchParams:
-    """Mirrors ivf_flat::search_params (ivf_flat.hpp:76)."""
+    """Mirrors ivf_flat::search_params (ivf_flat.hpp:76).
+
+    recall_target < 1.0 switches per-probe top-k to the TPU-approximate
+    selection (exact on CPU)."""
 
     n_probes: int = 20
     compute_dtype: object = jnp.float32
+    recall_target: object = None
 
 
 @flax.struct.dataclass
@@ -176,7 +180,7 @@ def extend(index: Index, new_vectors, new_ids=None) -> Index:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "n_probes", "metric", "window", "n_rows", "compute_dtype"),
+    static_argnames=("k", "n_probes", "metric", "window", "n_rows", "compute_dtype", "recall_target"),
 )
 def _search_impl(
     centers,
@@ -192,6 +196,7 @@ def _search_impl(
     window,
     n_rows,
     compute_dtype,
+    recall_target,
 ):
     nq, d = queries.shape
     qf = jnp.asarray(queries, jnp.float32)
@@ -242,9 +247,8 @@ def _search_impl(
             valid = jnp.logical_and(valid, mask)
         order = jnp.where(valid, order, jnp.inf)
 
-        tv, tl = lax.top_k(-order, min(k, window))
+        tv, tl = topk(order, min(k, window), True, recall_target)
         ti = jnp.take_along_axis(ids_w, tl, axis=1)
-        tv = -tv
         mv = jnp.concatenate([best_v, tv], axis=1)
         mi = jnp.concatenate([best_i, ti], axis=1)
         sv, sidx = lax.top_k(-mv, k)
@@ -294,4 +298,5 @@ def search(
         index.window,
         index.n_rows,
         params.compute_dtype,
+        None if params.recall_target is None else float(params.recall_target),
     )

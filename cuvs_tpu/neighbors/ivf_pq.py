@@ -37,7 +37,7 @@ from cuvs_tpu.distance import pairwise
 from cuvs_tpu.distance.pairwise import DistanceType, normalize_metric
 from cuvs_tpu.neighbors import filters as filt
 from cuvs_tpu.neighbors import ivf_common as ivf
-from cuvs_tpu.selection.select_k import select_k
+from cuvs_tpu.selection.select_k import select_k, topk
 
 
 def calculate_pq_dim(dim: int) -> int:
@@ -83,6 +83,7 @@ class SearchParams:
     internal_distance_dtype: object = jnp.float32
     coarse_compute_dtype: object = jnp.float32
     max_internal_batch_size: int = 4096
+    recall_target: object = None
 
 
 @flax.struct.dataclass
@@ -297,7 +298,7 @@ def extend(index: Index, new_vectors, new_ids=None) -> Index:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "n_probes", "metric", "window", "lut_dtype", "qchunk"),
+    static_argnames=("k", "n_probes", "metric", "window", "lut_dtype", "qchunk", "recall_target"),
 )
 def _search_impl(
     index_arrays,
@@ -309,6 +310,7 @@ def _search_impl(
     window,
     lut_dtype,
     qchunk,
+    recall_target,
 ):
     (centers, center_norms, centers_rot, rotation, pq_centers, sorted_codes, lists) = index_arrays
     nq_all, dim = queries.shape
@@ -379,9 +381,9 @@ def _search_impl(
                 valid = jnp.logical_and(valid, mask)
             order = jnp.where(valid, order, jnp.inf)
 
-            tv, tl = lax.top_k(-order, min(k, window))
+            tv, tl = topk(order, min(k, window), True, recall_target)
             ti = jnp.take_along_axis(ids_w, tl, axis=1)
-            mv = jnp.concatenate([best_v, -tv], axis=1)
+            mv = jnp.concatenate([best_v, tv], axis=1)
             mi = jnp.concatenate([best_i, ti], axis=1)
             sv, sidx = lax.top_k(-mv, k)
             return ((-sv), jnp.take_along_axis(mi, sidx, axis=1)), None
@@ -450,4 +452,5 @@ def search(
         index.window,
         params.lut_dtype,
         qchunk,
+        None if params.recall_target is None else float(params.recall_target),
     )

@@ -26,6 +26,7 @@ from cuvs_tpu.distance.pairwise import DistanceType, normalize_metric
 from cuvs_tpu.neighbors import filters as filt
 from cuvs_tpu.neighbors import ivf_common as ivf
 from cuvs_tpu.preprocessing import quantize as pq
+from cuvs_tpu.selection.select_k import select_k, topk
 
 
 @dataclasses.dataclass(frozen=True)
@@ -47,6 +48,7 @@ class IndexParams:
 class SearchParams:
     n_probes: int = 20
     compute_dtype: object = jnp.float32
+    recall_target: object = None
 
 
 @flax.struct.dataclass
@@ -114,11 +116,11 @@ def build(dataset, params: Optional[IndexParams] = None, **kw) -> Index:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "n_probes", "metric", "window", "compute_dtype")
+    jax.jit, static_argnames=("k", "n_probes", "metric", "window", "compute_dtype", "recall_target")
 )
 def _search_impl(
     centers, center_norms, sorted_codes, sorted_norms, q_min, q_max, lists,
-    queries, prefilter, k, n_probes, metric, window, compute_dtype,
+    queries, prefilter, k, n_probes, metric, window, compute_dtype, recall_target,
 ):
     nq, d = queries.shape
     qf = jnp.asarray(queries, jnp.float32)
@@ -159,9 +161,9 @@ def _search_impl(
         if mask is not None:
             valid = jnp.logical_and(valid, mask)
         order = jnp.where(valid, order, jnp.inf)
-        tv, tl = lax.top_k(-order, min(k, window))
+        tv, tl = topk(order, min(k, window), True, recall_target)
         ti = jnp.take_along_axis(ids_w, tl, axis=1)
-        mv = jnp.concatenate([best_v, -tv], axis=1)
+        mv = jnp.concatenate([best_v, tv], axis=1)
         mi = jnp.concatenate([best_i, ti], axis=1)
         sv, sidx = lax.top_k(-mv, k)
         return ((-sv), jnp.take_along_axis(mi, sidx, axis=1)), None
@@ -201,4 +203,5 @@ def search(
         index.metric,
         index.window,
         params.compute_dtype,
+        None if params.recall_target is None else float(params.recall_target),
     )

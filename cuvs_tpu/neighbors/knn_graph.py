@@ -50,6 +50,8 @@ def build_knn_graph(
     ivf_pq_params: Optional[ivfpq.IndexParams] = None,
     refine_ratio: float = 2.0,
     seed: int = 0,
+    compute_dtype=None,
+    recall_target=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """k-NN graph over the dataset (self-edges removed).
 
@@ -65,12 +67,16 @@ def build_knn_graph(
         algo = "brute_force" if n <= 150_000 else "ivf_pq"
 
     if algo == "brute_force":
+        import jax.numpy as _jnp
+
+        cd = compute_dtype if compute_dtype is not None else _jnp.float32
         index = bf.build(dataset, metric=metric)
         all_ids = []
         all_dists = []
         for s in range(0, n, query_batch):
             q = dataset[s : s + query_batch]
-            dd, ii = bf.search(index, q, k + 1)
+            dd, ii = bf.search(index, q, k + 1, compute_dtype=cd,
+                               recall_target=recall_target)
             all_ids.append(ii)
             all_dists.append(dd)
         ids = jnp.concatenate(all_ids, axis=0)

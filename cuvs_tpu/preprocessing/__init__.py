@@ -1,3 +1,3 @@
-from cuvs_tpu.preprocessing import pca, quantize
+from cuvs_tpu.preprocessing import pca, quantize, spectral
 
-__all__ = ["pca", "quantize"]
+__all__ = ["pca", "quantize", "spectral"]

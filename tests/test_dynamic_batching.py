@@ -1,0 +1,66 @@
+import threading
+
+import numpy as np
+
+from cuvs_tpu.neighbors import brute_force, dynamic_batching
+from tests.utils import naive_knn, calc_recall, make_blobs
+
+RNG = np.random.default_rng(71)
+
+
+def test_batched_matches_direct():
+    x = make_blobs(RNG, 2000, 16)
+    idx = brute_force.build(x)
+    bs = dynamic_batching.wrap(
+        brute_force, idx, dim=16,
+        params=dynamic_batching.BatchParams(k=5, max_batch_size=32, dispatch_timeout_ms=5),
+    )
+    q = make_blobs(RNG, 10, 16)
+    d, i = bs.search(q)
+    dd, ii = brute_force.search(idx, q, 5)
+    np.testing.assert_array_equal(i, np.asarray(ii))
+    bs.close()
+
+
+def test_concurrent_requests_aggregate():
+    x = make_blobs(RNG, 3000, 8)
+    idx = brute_force.build(x)
+    bs = dynamic_batching.wrap(
+        brute_force, idx, dim=8,
+        params=dynamic_batching.BatchParams(k=3, max_batch_size=64, dispatch_timeout_ms=20),
+    )
+    gtd_all, gti_all = naive_knn(x[:64], x, 3)
+    futs = [bs.submit(x[j][None]) for j in range(64)]
+    results = [f.result(timeout=30) for f in futs]
+    ids = np.concatenate([r[1] for r in results], axis=0)
+    assert calc_recall(ids, gti_all) >= 0.999
+    bs.close()
+
+
+def test_error_propagates():
+    def broken(q):
+        raise RuntimeError("boom")
+
+    bs = dynamic_batching.BatchedSearcher(
+        broken, dim=4,
+        params=dynamic_batching.BatchParams(k=1, max_batch_size=4, dispatch_timeout_ms=1),
+    )
+    fut = bs.submit(np.zeros((1, 4), np.float32))
+    try:
+        fut.result(timeout=10)
+        assert False, "expected exception"
+    except RuntimeError as e:
+        assert "boom" in str(e)
+    bs.close()
+
+
+def test_dim_mismatch_rejected():
+    x = make_blobs(RNG, 100, 8)
+    idx = brute_force.build(x)
+    bs = dynamic_batching.wrap(brute_force, idx, dim=8)
+    try:
+        bs.submit(np.zeros((1, 5), np.float32))
+        assert False
+    except ValueError:
+        pass
+    bs.close()

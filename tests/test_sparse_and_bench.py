@@ -1,0 +1,85 @@
+import numpy as np
+import pytest
+
+from tests.utils import naive_knn, calc_recall
+
+
+def _random_csr(rng, n, d, density=0.05):
+    import scipy.sparse as sp
+
+    m = sp.random(n, d, density=density, random_state=np.random.RandomState(1),
+                  format="csr", dtype=np.float32)
+    return m
+
+
+def test_sparse_bf_matches_dense():
+    from cuvs_tpu.neighbors import sparse_brute_force as sbf
+
+    rng = np.random.default_rng(3)
+    x = _random_csr(rng, 800, 500)
+    q = _random_csr(rng, 30, 500)
+    idx = sbf.from_scipy(x)
+    d, i = sbf.search(idx, q.indptr, q.indices, q.data, 10,
+                      index_block=300, feature_tile=200)
+    gtd, gti = naive_knn(q.toarray(), x.toarray(), 10)
+    assert calc_recall(i, gti, d, gtd) >= 0.999
+    np.testing.assert_allclose(d, gtd, rtol=1e-3, atol=1e-4)
+
+
+def test_sparse_bf_inner_product():
+    from cuvs_tpu.neighbors import sparse_brute_force as sbf
+
+    rng = np.random.default_rng(4)
+    x = _random_csr(rng, 500, 300)
+    q = _random_csr(rng, 10, 300)
+    idx = sbf.from_scipy(x, metric="inner_product")
+    d, i = sbf.search(idx, q.indptr, q.indices, q.data, 5)
+    gtd, gti = naive_knn(q.toarray(), x.toarray(), 5, metric="inner_product")
+    assert calc_recall(i, gti) >= 0.99
+
+
+def test_bench_runner_and_pareto(tmp_path):
+    from cuvs_tpu.bench import runner
+
+    rows = runner.run(
+        "synthetic-100k-96",
+        "ivf_flat",
+        build_params={"n_lists": 16, "seed": 0},
+        search_grid={"n_probes": [2, 16]},
+        k=10,
+        max_rows=5000,
+        gt_queries=128,
+        reps=1,
+        cache_dir=str(tmp_path),
+    )
+    assert len(rows) == 2
+    r2, r16 = rows
+    assert r16.recall >= r2.recall
+    assert all(r.qps > 0 and r.latency_ms > 0 for r in rows)
+    front = runner.pareto(rows)
+    assert front[0].recall == max(r.recall for r in rows)
+    p = str(tmp_path / "rows.csv")
+    runner.write_csv(rows, p)
+    import csv
+
+    got = list(csv.DictReader(open(p)))
+    assert len(got) == 2 and got[0]["algo"] == "ivf_flat"
+
+
+def test_bench_dataset_registry():
+    from cuvs_tpu.bench import datasets
+
+    ds = datasets.load("synthetic-100k-96", max_rows=1000)
+    assert ds.base.shape == (1000, 96)
+    assert ds.synthetic
+    with pytest.raises(ValueError):
+        datasets.load("no-such-dataset")
+
+
+def test_groundtruth_cache(tmp_path):
+    from cuvs_tpu.bench import datasets
+
+    ds = datasets.load("synthetic-100k-96", max_rows=2000)
+    d1, i1 = datasets.groundtruth(ds, k=5, gt_queries=32, cache_dir=str(tmp_path))
+    d2, i2 = datasets.groundtruth(ds, k=5, gt_queries=32, cache_dir=str(tmp_path))
+    np.testing.assert_array_equal(i1, i2)
