@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from cuvs_tpu.distance import pairwise
+from cuvs_tpu.utils.tracing import traced
 from cuvs_tpu.distance.pairwise import DistanceType, normalize_metric, is_min_close
 from cuvs_tpu.neighbors import filters as filt
 from cuvs_tpu.selection.select_k import select_k, topk
@@ -48,6 +49,7 @@ class Index:
         return self.dataset.shape[1]
 
 
+@traced("brute_force::build")
 def build(dataset, metric="sqeuclidean", metric_arg: float = 2.0) -> Index:
     """Build an exact-search index (precomputes row norms for L2/cosine)."""
     metric = normalize_metric(metric)
@@ -183,6 +185,7 @@ def _search_impl(
     return bv, bi
 
 
+@traced("brute_force::search")
 def search(
     index: Index,
     queries,

@@ -35,6 +35,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from cuvs_tpu.distance import pairwise
+from cuvs_tpu.utils.tracing import traced
 from cuvs_tpu.distance.pairwise import DistanceType, normalize_metric
 from cuvs_tpu.neighbors import filters as filt
 from cuvs_tpu.neighbors import graph_core, knn_graph
@@ -92,6 +93,7 @@ class Index:
         return self.graph.shape[1]
 
 
+@traced("cagra::build")
 def build(dataset, params: Optional[IndexParams] = None, **kw) -> Index:
     """knn graph -> optimize -> index (cagra_build.cuh:2206)."""
     if params is None:
@@ -263,6 +265,7 @@ def _search_chunk(
     return out_d, out_ids
 
 
+@traced("cagra::search")
 def search(
     index: Index,
     queries,
@@ -345,3 +348,19 @@ def extend(index: Index, new_vectors, params: Optional[SearchParams] = None) -> 
     dataset = jnp.concatenate([index.dataset, new_vectors], axis=0)
     graph = jnp.concatenate([graph_old, fwd], axis=0)
     return from_graph(dataset, graph, metric=index.metric)
+
+
+def merge(indexes, datasets=None, strategy: str = "physical", params: Optional[IndexParams] = None):
+    """Merge CAGRA indexes (cagra.hpp:2477-2501 MergeStrategy).
+
+    PHYSICAL rebuilds over the concatenated datasets; LOGICAL returns a
+    composite view that searches every child and merges top-k.
+    """
+    from cuvs_tpu.neighbors import composite
+    import sys
+
+    mod = sys.modules[__name__]
+    if strategy == "physical":
+        data = jnp.concatenate([ix.dataset for ix in indexes], axis=0)
+        return build(data, params) if params is not None else build(data)
+    return composite.merge(mod, indexes, strategy="logical")

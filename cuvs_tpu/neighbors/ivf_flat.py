@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from cuvs_tpu.cluster import kmeans_balanced
+from cuvs_tpu.utils.tracing import traced
 from cuvs_tpu.distance import pairwise
 from cuvs_tpu.distance.pairwise import DistanceType, normalize_metric
 from cuvs_tpu.neighbors import filters as filt
@@ -117,6 +118,7 @@ def _pack(dataset, ids, labels, centers, metric, n_lists, adaptive):
     )
 
 
+@traced("ivf_flat::build")
 def build(dataset, params: Optional[IndexParams] = None, **kw) -> Index:
     """Train the coarse quantizer and populate lists (ivf_flat_build.cuh:394)."""
     if params is None:
@@ -269,6 +271,7 @@ def _search_impl(
     return best_v, best_i
 
 
+@traced("ivf_flat::search")
 def search(
     index: Index,
     queries,

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from cuvs_tpu.cluster import kmeans_balanced
+from cuvs_tpu.utils.tracing import traced
 from cuvs_tpu.distance import pairwise
 from cuvs_tpu.distance.pairwise import DistanceType, normalize_metric
 from cuvs_tpu.neighbors import filters as filt
@@ -194,6 +195,7 @@ def _encode(residuals_rot, pq_centers, chunk=65536):
     return codes.reshape(-1, pq_dim)[:n]
 
 
+@traced("ivf_pq::build")
 def build(dataset, params: Optional[IndexParams] = None, **kw) -> Index:
     if params is None:
         params = IndexParams(**kw)
@@ -412,6 +414,7 @@ def _search_impl(
     return bv, bi
 
 
+@traced("ivf_pq::search")
 def search(
     index: Index,
     queries,
