@@ -60,6 +60,10 @@ class SearchParams:
     n_probes: int = 20
     compute_dtype: object = jnp.float32
     recall_target: object = None
+    # "auto" | "query_major" | "cluster_major" — cluster_major batches each
+    # list's probing queries into one MXU matmul (ivf_scan.py); auto picks
+    # it when the batch is large enough to fill clusters
+    scan_algo: str = "auto"
 
 
 @flax.struct.dataclass
@@ -287,6 +291,38 @@ def search(
         prefilter = filt.no_filter()
     queries = jnp.asarray(queries)
     n_probes = min(params.n_probes, index.n_lists)
+
+    nq = queries.shape[0]
+    algo = params.scan_algo
+    if algo == "auto":
+        algo = "cluster_major" if nq * n_probes >= 4 * index.n_lists else "query_major"
+    if algo == "cluster_major":
+        from cuvs_tpu.neighbors import ivf_scan
+
+        qf = jnp.asarray(queries, jnp.float32)
+        probe_ids = ivf.coarse_search(
+            qf, index.centers, index.center_norms, n_probes, index.metric,
+            params.compute_dtype,
+        )
+        mean_occ = nq * n_probes / index.n_lists
+        M = min(nq, max(8, int(-(-mean_occ * 4 // 8)) * 8))
+        budget = 64 * 1024 * 1024 // 4
+        chunk = max(1, min(index.n_lists, budget // max(M * index.window, 1)))
+        return ivf_scan.cluster_major_scan(
+            index.sorted_data,
+            index.sorted_norms,
+            index.lists,
+            qf,
+            probe_ids,
+            prefilter,
+            int(k),
+            index.metric,
+            index.window,
+            int(M),
+            int(chunk),
+            params.compute_dtype,
+            None if params.recall_target is None else float(params.recall_target),
+        )
     return _search_impl(
         index.centers,
         index.center_norms,

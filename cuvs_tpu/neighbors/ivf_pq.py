@@ -85,6 +85,8 @@ class SearchParams:
     coarse_compute_dtype: object = jnp.float32
     max_internal_batch_size: int = 4096
     recall_target: object = None
+    compute_dtype: object = jnp.float32
+    scan_algo: str = "auto"  # see ivf_flat.SearchParams.scan_algo
 
 
 @flax.struct.dataclass
@@ -435,6 +437,41 @@ def search(
     queries = jnp.asarray(queries)
     nq = queries.shape[0]
     n_probes = min(params.n_probes, index.n_lists)
+
+    algo = params.scan_algo
+    if algo == "auto":
+        algo = "cluster_major" if nq * n_probes >= 4 * index.n_lists else "query_major"
+    if algo == "cluster_major":
+        from cuvs_tpu.neighbors import ivf_scan
+
+        qf = jnp.asarray(queries, jnp.float32)
+        probe_ids = ivf.coarse_search(
+            qf, index.centers, index.center_norms, n_probes, index.metric,
+            params.compute_dtype,
+        )
+        mean_occ = nq * n_probes / index.n_lists
+        M = min(nq, max(8, int(-(-mean_occ * 4 // 8)) * 8))
+        budget = 64 * 1024 * 1024 // 4
+        chunk = max(1, min(index.n_lists, budget // max(M * index.window, 1)))
+        return ivf_scan.cluster_major_scan_pq(
+            index.sorted_codes,
+            index.centers,
+            index.centers_rot,
+            index.pq_centers,
+            index.rotation,
+            index.lists,
+            qf,
+            probe_ids,
+            prefilter,
+            int(k),
+            index.metric,
+            index.window,
+            int(M),
+            int(chunk),
+            params.compute_dtype,
+            None if params.recall_target is None else float(params.recall_target),
+        )
+
     qchunk = int(min(params.max_internal_batch_size, max(64, nq)))
     arrays = (
         index.centers,

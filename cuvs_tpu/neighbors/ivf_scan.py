@@ -1,0 +1,296 @@
+"""Cluster-major IVF scan: the MXU-shaped inverted-list search.
+
+The reference's interleaved scan
+(/root/reference/cpp/src/neighbors/ivf_flat/ivf_flat_interleaved_scan_jit.cuh:423)
+is query-major: each CTA walks its query's probed lists — efficient on
+GPUs because warp gathers are cheap. On TPU a query-major scan degenerates
+to batched mat-VECTOR products ([1, d] @ [d, W]) that waste 127/128 MXU
+rows.
+
+This module inverts the loop: group the (query, probe) pairs BY CLUSTER,
+then each cluster chunk is one real batched matmul
+``[C, M, d] x [C, W, d] -> [C, M, W]`` — M queries per cluster hit the
+full systolic array. With batch x n_probes >> n_lists (the serving
+regime), M is large and the scan runs at matmul speed.
+
+Pipeline (all static shapes):
+  1. sort pairs by cluster (two-pass stable argsort), slot = rank within
+     cluster, capped at M = ~4x the mean occupancy (overflow pairs are
+     dropped — rare, and only costs that probe for that query);
+  2. lax.map over cluster chunks: dynamic-slice the cluster's rows,
+     batched matmul + metric epilogue + validity/filter mask, per-pair
+     top-k -> [n_lists, M, k];
+  3. un-permute: every pair gathers its (cluster, slot) result row,
+     final top-k over the [nq, p*k] pool.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from cuvs_tpu.distance import pairwise
+from cuvs_tpu.distance.pairwise import DistanceType
+from cuvs_tpu.neighbors import filters as filt
+from cuvs_tpu.neighbors import ivf_common as ivf
+from cuvs_tpu.selection.select_k import topk
+
+
+def group_pairs(probe_ids: jnp.ndarray, n_lists: int, max_per_cluster: int):
+    """Group (query, probe) pairs by cluster.
+
+    Returns:
+      qidx: [n_lists, M] query index per slot (-1 empty/overflow)
+      pair_slot: [nq, p] the slot each pair landed in (M = dropped)
+    """
+    nq, p = probe_ids.shape
+    flat_c = probe_ids.reshape(-1)
+    flat_q = jnp.repeat(jnp.arange(nq, dtype=jnp.int32), p)
+    # stable two-pass sort: by pair index then by cluster
+    order = jnp.argsort(flat_c, stable=True)
+    c_s = flat_c[order]
+    q_s = flat_q[order]
+    first = jnp.concatenate([jnp.array([True]), c_s[1:] != c_s[:-1]])
+    idx = jnp.arange(nq * p, dtype=jnp.int32)
+    group_start = lax.associative_scan(jnp.maximum, jnp.where(first, idx, 0))
+    slot = idx - group_start
+    keep = slot < max_per_cluster
+    row = jnp.where(keep, c_s, n_lists).astype(jnp.int32)  # OOB -> dropped
+    col = jnp.where(keep, slot, 0).astype(jnp.int32)
+    qidx = jnp.full((n_lists, max_per_cluster), -1, jnp.int32).at[row, col].set(
+        q_s, mode="drop"
+    )
+    # pair -> slot mapping (in original pair order)
+    pair_slot = jnp.full((nq * p,), max_per_cluster, jnp.int32).at[order].set(
+        jnp.where(keep, slot, max_per_cluster)
+    )
+    return qidx, pair_slot.reshape(nq, p)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "metric", "window", "max_per_cluster", "cluster_chunk",
+        "compute_dtype", "recall_target",
+    ),
+)
+def cluster_major_scan(
+    sorted_data,
+    sorted_norms,
+    lists,
+    queries_f32,
+    probe_ids,
+    prefilter,
+    k,
+    metric,
+    window,
+    max_per_cluster,
+    cluster_chunk,
+    compute_dtype,
+    recall_target,
+):
+    """IVF-Flat cluster-major search core. Returns (dists [nq,k], ids)."""
+    nq, d = queries_f32.shape
+    n_lists = lists.offsets.shape[0]
+    p = probe_ids.shape[1]
+    M = max_per_cluster
+    ip = metric == DistanceType.InnerProduct
+    cosine = metric == DistanceType.CosineExpanded
+
+    qidx, pair_slot = group_pairs(probe_ids, n_lists, M)
+    qn = jnp.sum(queries_f32 * queries_f32, axis=1)
+    if cosine:
+        qn = jnp.sqrt(qn)
+    qc_all = queries_f32.astype(compute_dtype)
+
+    pad_l = (-n_lists) % cluster_chunk
+    qidx_p = jnp.pad(qidx, ((0, pad_l), (0, 0)), constant_values=-1)
+    cl_ids = jnp.arange(n_lists + pad_l, dtype=jnp.int32)
+    kk = min(k, window)
+
+    def chunk_fn(args):
+        qi, cl = args  # [C, M], [C]
+        C = qi.shape[0]
+        safe_c = jnp.minimum(cl, n_lists - 1)
+        starts = lists.offsets[safe_c]
+        data_w = ivf.window_gather(sorted_data, starts, window)  # [C, W, d]
+        ids_w = ivf.window_gather(lists.ids, starts, window)
+        lab_w = ivf.window_gather(lists.labels, starts, window)
+        norm_w = ivf.window_gather(sorted_norms, starts, window)
+
+        safe_q = jnp.maximum(qi, 0)
+        qs = qc_all[safe_q]  # [C, M, d]
+        dots = lax.dot_general(
+            qs,
+            data_w.astype(compute_dtype),
+            (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=pairwise.matmul_precision(compute_dtype),
+        )  # [C, M, W]
+
+        if ip:
+            order = -dots
+        elif cosine:
+            denom = jnp.maximum(
+                qn[safe_q][:, :, None] * jnp.sqrt(norm_w)[:, None, :], 1e-30
+            )
+            order = 1.0 - dots / denom
+        else:
+            order = jnp.maximum(
+                qn[safe_q][:, :, None] + norm_w[:, None, :] - 2.0 * dots, 0.0
+            )
+
+        valid = (lab_w == safe_c[:, None])[:, None, :]  # [C, 1, W]
+        valid = jnp.logical_and(valid, (qi >= 0)[:, :, None])
+        mask = filt.passes(prefilter, safe_q[:, :, None], ids_w[:, None, :])
+        if mask is not None:
+            valid = jnp.logical_and(valid, mask)
+        order = jnp.where(valid, order, jnp.inf)
+
+        o2 = order.reshape(C * M, window)
+        tv, tl = topk(o2, kk, True, recall_target)
+        ti = jnp.take_along_axis(
+            jnp.repeat(ids_w, M, axis=0).reshape(C * M, window), tl, axis=1
+        )
+        return tv.reshape(C, M, kk), ti.reshape(C, M, kk)
+
+    tv, ti = lax.map(
+        chunk_fn,
+        (qidx_p.reshape(-1, cluster_chunk, M), cl_ids.reshape(-1, cluster_chunk)),
+    )
+    tv = tv.reshape(n_lists + pad_l, M, kk)[:n_lists]
+    ti = ti.reshape(n_lists + pad_l, M, kk)[:n_lists]
+    # pad one extra slot row (dropped pairs land there)
+    tv = jnp.pad(tv, ((0, 0), (0, 1), (0, 0)), constant_values=jnp.inf)
+    ti = jnp.pad(ti, ((0, 0), (0, 1), (0, 0)))
+
+    # un-permute: [nq, p, kk]
+    pv = tv[probe_ids, pair_slot]  # fancy gather over (cluster, slot)
+    pi = ti[probe_ids, pair_slot]
+    pool_v = pv.reshape(nq, p * kk)
+    pool_i = pi.reshape(nq, p * kk)
+    fv, fl = topk(pool_v, k, True, None)
+    fi = jnp.take_along_axis(pool_i, fl, axis=1)
+    if ip:
+        fv = -fv
+    fv = ivf.postprocess_distances(fv, metric)
+    return fv, fi
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "metric", "window", "max_per_cluster", "cluster_chunk",
+        "compute_dtype", "recall_target",
+    ),
+)
+def cluster_major_scan_pq(
+    sorted_codes,
+    centers,
+    centers_rot,
+    pq_centers,
+    rotation,
+    lists,
+    queries_f32,
+    probe_ids,
+    prefilter,
+    k,
+    metric,
+    window,
+    max_per_cluster,
+    cluster_chunk,
+    compute_dtype,
+    recall_target,
+):
+    """IVF-PQ cluster-major search via decode-and-dot.
+
+    The reference scans PQ codes with a per-query LUT in shared memory
+    (ivf_pq_compute_similarity_impl.cuh) — an ADC gather per (query, row,
+    subspace). On TPU gathers are the bottleneck and FLOPs are nearly
+    free, so instead each cluster's code block is RECONSTRUCTED once
+    (``y = centers_rot[c] + Σ_s codebook[s, code]``, one contiguous
+    gather per subspace, shared by every query probing the cluster) and
+    scored with one batched MXU matmul — mathematically identical to ADC
+    for both L2 and IP.
+    """
+    nq, d = queries_f32.shape
+    n_lists = lists.offsets.shape[0]
+    p = probe_ids.shape[1]
+    M = max_per_cluster
+    pq_dim, book, pq_len = pq_centers.shape
+    rot_dim = pq_dim * pq_len
+    ip = metric == DistanceType.InnerProduct
+
+    qidx, pair_slot = group_pairs(probe_ids, n_lists, M)
+    qrot = (queries_f32 @ rotation.T).astype(compute_dtype)  # [nq, rot_dim]
+    qn = jnp.sum(queries_f32 * queries_f32, axis=1)
+
+    pad_l = (-n_lists) % cluster_chunk
+    qidx_p = jnp.pad(qidx, ((0, pad_l), (0, 0)), constant_values=-1)
+    cl_ids = jnp.arange(n_lists + pad_l, dtype=jnp.int32)
+    kk = min(k, window)
+    sub_ids = jnp.arange(pq_dim, dtype=jnp.int32)
+
+    def chunk_fn(args):
+        qi, cl = args  # [C, M], [C]
+        C = qi.shape[0]
+        safe_c = jnp.minimum(cl, n_lists - 1)
+        starts = lists.offsets[safe_c]
+        codes_w = ivf.window_gather(sorted_codes, starts, window)  # [C, W, S] u8
+        ids_w = ivf.window_gather(lists.ids, starts, window)
+        lab_w = ivf.window_gather(lists.labels, starts, window)
+
+        # reconstruct in rotated space: y = center_rot + codebook[s, code]
+        recon = pq_centers[sub_ids[None, None, :], codes_w.astype(jnp.int32), :]
+        y = recon.reshape(C, window, rot_dim) + centers_rot[safe_c][:, None, :]
+        yn = jnp.sum(y * y, axis=2)  # [C, W]
+        yc = y.astype(compute_dtype)
+
+        safe_q = jnp.maximum(qi, 0)
+        qs = qrot[safe_q]  # [C, M, rot_dim]
+        dots = lax.dot_general(
+            qs, yc, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=pairwise.matmul_precision(compute_dtype),
+        )  # [C, M, W]
+
+        if ip:
+            order = -dots
+        else:
+            order = jnp.maximum(qn[safe_q][:, :, None] + yn[:, None, :] - 2.0 * dots, 0.0)
+
+        valid = (lab_w == safe_c[:, None])[:, None, :]
+        valid = jnp.logical_and(valid, (qi >= 0)[:, :, None])
+        mask = filt.passes(prefilter, safe_q[:, :, None], ids_w[:, None, :])
+        if mask is not None:
+            valid = jnp.logical_and(valid, mask)
+        order = jnp.where(valid, order, jnp.inf)
+
+        o2 = order.reshape(C * M, window)
+        tv, tl = topk(o2, kk, True, recall_target)
+        ti = jnp.take_along_axis(
+            jnp.repeat(ids_w, M, axis=0).reshape(C * M, window), tl, axis=1
+        )
+        return tv.reshape(C, M, kk), ti.reshape(C, M, kk)
+
+    tv, ti = lax.map(
+        chunk_fn,
+        (qidx_p.reshape(-1, cluster_chunk, M), cl_ids.reshape(-1, cluster_chunk)),
+    )
+    tv = tv.reshape(n_lists + pad_l, M, kk)[:n_lists]
+    ti = ti.reshape(n_lists + pad_l, M, kk)[:n_lists]
+    tv = jnp.pad(tv, ((0, 0), (0, 1), (0, 0)), constant_values=jnp.inf)
+    ti = jnp.pad(ti, ((0, 0), (0, 1), (0, 0)))
+
+    pv = tv[probe_ids, pair_slot]
+    pi = ti[probe_ids, pair_slot]
+    fv, fl = topk(pv.reshape(nq, p * kk), k, True, None)
+    fi = jnp.take_along_axis(pi.reshape(nq, p * kk), fl, axis=1)
+    if ip:
+        fv = -fv
+    fv = ivf.postprocess_distances(fv, metric)
+    return fv, fi

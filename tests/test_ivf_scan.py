@@ -1,0 +1,92 @@
+"""Cluster-major scan equivalence vs the query-major reference path."""
+
+import numpy as np
+import pytest
+
+from cuvs_tpu.neighbors import filters, ivf_flat
+from tests.utils import naive_knn, calc_recall, make_blobs
+
+RNG = np.random.default_rng(113)
+
+
+def _setup(n=20000, dim=32, nq=256, n_lists=64):
+    x = make_blobs(RNG, n, dim, n_centers=100)
+    q = make_blobs(RNG, nq, dim, n_centers=100)
+    idx = ivf_flat.build(x, n_lists=n_lists, seed=0)
+    return x, q, idx
+
+
+@pytest.mark.parametrize("metric", ["sqeuclidean", "inner_product", "cosine"])
+def test_matches_query_major(metric):
+    x = make_blobs(RNG, 10000, 16)
+    q = make_blobs(RNG, 128, 16)
+    idx = ivf_flat.build(x, n_lists=32, metric=metric, seed=0)
+    d1, i1 = ivf_flat.search(idx, q, 10, n_probes=8, scan_algo="query_major")
+    d2, i2 = ivf_flat.search(idx, q, 10, n_probes=8, scan_algo="cluster_major")
+    # same probes, exact selection, generous M => identical results
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-4, atol=1e-4)
+    match = (np.asarray(i1) == np.asarray(i2)).mean()
+    assert match > 0.999, match
+
+
+def test_recall_cluster_major():
+    x, q, idx = _setup()
+    d, i = ivf_flat.search(idx, q, 10, n_probes=20, scan_algo="cluster_major")
+    gtd, gti = naive_knn(q, x, 10)
+    assert calc_recall(np.asarray(i), gti, np.asarray(d), gtd) >= 0.9
+
+
+def test_prefilter_cluster_major():
+    x, q, idx = _setup(5000, 16, 64, 16)
+    keep = RNG.random(5000) > 0.5
+    d, i = ivf_flat.search(
+        idx, q, 10, n_probes=16, scan_algo="cluster_major",
+        prefilter=filters.from_mask(keep),
+    )
+    i, d = np.asarray(i), np.asarray(d)
+    assert keep[i[np.isfinite(d)]].all()
+
+
+def test_auto_picks_cluster_major_for_big_batches():
+    # not observable directly; just exercise both regimes through auto
+    x, q, idx = _setup(5000, 16, 512, 16)
+    d, i = ivf_flat.search(idx, q, 5, n_probes=8)  # big batch -> cluster major
+    d2, i2 = ivf_flat.search(idx, q[:2], 5, n_probes=2)  # tiny -> query major
+    assert np.isfinite(np.asarray(d)).all()
+
+
+def test_overflow_drop_is_bounded():
+    # adversarial: every query probes the same cluster list order (identical
+    # queries) => heavy overflow; recall of top-1 must survive because the
+    # nearest cluster still serves the first M pairs and all queries are equal
+    x = make_blobs(RNG, 2000, 8)
+    idx = ivf_flat.build(x, n_lists=8, seed=0)
+    q = np.tile(x[42][None], (256, 1))
+    d, i = ivf_flat.search(idx, q, 1, n_probes=4, scan_algo="cluster_major")
+    assert (np.asarray(i)[:, 0] == 42).mean() >= 0.9
+
+
+def test_pq_cluster_major_matches_query_major():
+    from cuvs_tpu.neighbors import ivf_pq
+
+    x = make_blobs(RNG, 10000, 32)
+    q = make_blobs(RNG, 128, 32)
+    idx = ivf_pq.build(x, n_lists=32, pq_dim=16, seed=0)
+    d1, i1 = ivf_pq.search(idx, q, 10, n_probes=8, scan_algo="query_major")
+    d2, i2 = ivf_pq.search(idx, q, 10, n_probes=8, scan_algo="cluster_major")
+    # decode-and-dot is mathematically identical to the ADC LUT
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-3, atol=1e-3)
+    match = (np.asarray(i1) == np.asarray(i2)).mean()
+    assert match > 0.99, match
+
+
+def test_pq_cluster_major_ip():
+    from cuvs_tpu.neighbors import ivf_pq
+
+    x = make_blobs(RNG, 8000, 32)
+    q = make_blobs(RNG, 128, 32)
+    idx = ivf_pq.build(x, n_lists=32, pq_dim=16, metric="inner_product", seed=0)
+    d1, i1 = ivf_pq.search(idx, q, 10, n_probes=8, scan_algo="query_major")
+    d2, i2 = ivf_pq.search(idx, q, 10, n_probes=8, scan_algo="cluster_major")
+    match = (np.asarray(i1) == np.asarray(i2)).mean()
+    assert match > 0.95, match
