@@ -244,3 +244,62 @@ def search(
         check_vma=False,
     )
     return shard_fn_mapped(mg.shards, mg.row_offsets, queries)
+
+
+def save(path: str, mg_index: MGIndex) -> None:
+    """Serialize a multi-chip index: per-shard sub-indexes + distribution
+    header (snmg.cuh:46-90 serializes per-rank sub-indexes the same way)."""
+    import json
+
+    import numpy as np
+
+    from cuvs_tpu.utils import serialize as ser
+
+    module = _ALGOS[mg_index.algo]
+    n_shards = int(jax.tree_util.tree_leaves(mg_index.shards)[0].shape[0])
+    header = {
+        "magic": "cuvs_tpu.mg_index",
+        "version": 1,
+        "algo": mg_index.algo,
+        "mode": mg_index.mode,
+        "n_rows": mg_index.n_rows,
+        "n_shards": n_shards,
+        "row_offsets": np.asarray(mg_index.row_offsets).tolist(),
+    }
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "mg_header.json"), "w") as f:
+        json.dump(header, f)
+    for s in range(n_shards):
+        shard = jax.tree.map(lambda a: a[s], mg_index.shards)
+        ser.save(os.path.join(path, f"shard_{s}.npz"), shard)
+
+
+def load(path: str) -> MGIndex:
+    """Deserialize a multi-chip index (validates the distribution header)."""
+    import json
+    import os
+
+    import jax.numpy as jnp
+
+    from cuvs_tpu.utils import serialize as ser
+
+    with open(os.path.join(path, "mg_header.json")) as f:
+        header = json.load(f)
+    if header.get("magic") != "cuvs_tpu.mg_index":
+        raise ValueError("not a cuvs_tpu mg index directory")
+    if header.get("version", -1) > 1:
+        raise ValueError("mg index version too new")
+    shards = [
+        ser.load(os.path.join(path, f"shard_{s}.npz"), expected_kind=header["algo"])
+        for s in range(header["n_shards"])
+    ]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *shards)
+    return MGIndex(
+        shards=stacked,
+        row_offsets=jnp.asarray(header["row_offsets"], jnp.int32),
+        algo=header["algo"],
+        mode=header["mode"],
+        n_rows=header["n_rows"],
+    )

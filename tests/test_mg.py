@@ -77,3 +77,17 @@ def test_mg_kmeans_matches_quality():
     assert centers_mg.shape == (8, 16)
     # same init & math => same quality (allow small slack for reduction order)
     assert float(inertia_mg) <= float(inertia_sg) * 1.05
+
+
+def test_mg_serialize_roundtrip(tmp_path):
+    x = make_blobs(RNG, 2000, 16)
+    q = make_blobs(RNG, 16, 16)
+    idx = mg.build(x, algo="brute_force", mode="sharded")
+    d1, i1 = mg.search(idx, q, 5)
+    from cuvs_tpu.mg import snmg
+
+    p = str(tmp_path / "mgidx")
+    snmg.save(p, idx)
+    loaded = snmg.load(p)
+    d2, i2 = mg.search(loaded, q, 5)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
