@@ -1,0 +1,85 @@
+"""Python side of the C API (capi/cuvs_tpu_c.cpp).
+
+Receives raw host pointers + shapes from C, wraps them zero-copy with
+ctypes/numpy, and dispatches into the package. The reference's analog is
+the DLPack-dtype dispatch in /root/reference/c/src/neighbors/*.cpp.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import json
+
+import numpy as np
+
+_ALGOS = None
+
+
+def _algos():
+    global _ALGOS
+    if _ALGOS is None:
+        from cuvs_tpu.neighbors import brute_force, cagra, ivf_flat, ivf_pq, ivf_sq
+
+        _ALGOS = {
+            "brute_force": brute_force,
+            "ivf_flat": ivf_flat,
+            "ivf_pq": ivf_pq,
+            "ivf_sq": ivf_sq,
+            "cagra": cagra,
+        }
+    return _ALGOS
+
+
+def _wrap(ptr: int, shape, dtype):
+    size = int(np.prod(shape))
+    ctype = np.ctypeslib.as_ctypes_type(np.dtype(dtype))
+    buf = (ctype * size).from_address(ptr)
+    return np.frombuffer(buf, dtype=dtype).reshape(shape)
+
+
+def init(platform: str):
+    import jax
+
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    return True
+
+
+def build(algo: str, metric: str, params_json: str, data_ptr: int, n_rows: int, dim: int):
+    module = _algos()[algo]
+    data = _wrap(data_ptr, (n_rows, dim), np.float32).copy()
+    params = json.loads(params_json or "{}")
+    if algo == "brute_force":
+        index = module.build(data, metric=metric, **params)
+    else:
+        index = module.build(data, metric=metric, **params)
+    return (algo, index)
+
+
+def search(handle, params_json: str, q_ptr: int, n_queries: int, dim: int, k: int,
+           out_d_ptr: int, out_i_ptr: int):
+    algo, index = handle
+    module = _algos()[algo]
+    q = _wrap(q_ptr, (n_queries, dim), np.float32).copy()
+    params = json.loads(params_json or "{}")
+    d, i = module.search(index, q, int(k), **params)
+    out_d = _wrap(out_d_ptr, (n_queries, k), np.float32)
+    out_i = _wrap(out_i_ptr, (n_queries, k), np.int32)
+    out_d[:] = np.asarray(d, np.float32)
+    out_i[:] = np.asarray(i, np.int32)
+    return True
+
+
+def serialize(handle, path: str):
+    from cuvs_tpu.utils import serialize as ser
+
+    _, index = handle
+    ser.save(path, index)
+    return True
+
+
+def deserialize(path: str):
+    from cuvs_tpu.utils import serialize as ser
+
+    index = ser.load(path)
+    return (ser.kind_of(index), index)

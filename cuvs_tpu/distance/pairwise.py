@@ -92,6 +92,12 @@ _ALIASES = {
 
 
 def normalize_metric(metric) -> DistanceType:
+    if callable(metric) and not isinstance(metric, DistanceType):
+        # CustomUDF (DistanceType.CustomUDF analog): a jax-traceable
+        # fn(x [m,d], y [n,d]) -> [m,n]; traced straight into the search
+        # program (the reference JIT-compiles a CUDA source string,
+        # include/cuvs/neighbors/ivf_flat.hpp:80 metric_udf)
+        return metric
     if isinstance(metric, DistanceType):
         return metric
     if isinstance(metric, int):
@@ -106,8 +112,10 @@ def normalize_metric(metric) -> DistanceType:
 
 
 def is_min_close(metric) -> bool:
-    """Whether smaller distance = more similar (distance.hpp:71-86)."""
-    return normalize_metric(metric) != DistanceType.InnerProduct
+    """Whether smaller distance = more similar (distance.hpp:71-86).
+    Custom UDF metrics are treated as distances (min = close)."""
+    m = normalize_metric(metric)
+    return True if callable(m) and not isinstance(m, DistanceType) else m != DistanceType.InnerProduct
 
 
 def row_norms(x, squared: bool = True) -> jnp.ndarray:
@@ -331,6 +339,8 @@ def pairwise_distance(
     on the expanded metrics.
     """
     metric = normalize_metric(metric)
+    if callable(metric) and not isinstance(metric, DistanceType):
+        return jnp.asarray(metric(jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32)), jnp.float32)
     if metric == DistanceType.Precomputed:
         raise ValueError("Precomputed is a tag, not a computable metric")
     x = jnp.asarray(x)

@@ -55,6 +55,8 @@ def build(dataset, metric="sqeuclidean", metric_arg: float = 2.0) -> Index:
     metric = normalize_metric(metric)
     dataset = jnp.asarray(dataset)
     norms = None
+    if callable(metric) and not isinstance(metric, DistanceType):
+        return Index(dataset=dataset, norms=None, metric=metric, metric_arg=metric_arg)
     if metric in (DistanceType.L2Expanded, DistanceType.L2SqrtExpanded):
         norms = pairwise.row_norms(dataset, squared=True)
     elif metric == DistanceType.CosineExpanded:
@@ -64,6 +66,8 @@ def build(dataset, metric="sqeuclidean", metric_arg: float = 2.0) -> Index:
 
 def _tile_distances(metric, q, qn, tile, tile_norms, metric_arg, compute_dtype):
     """Distances between query chunk [B,d] and dataset tile [T,d] -> [B,T]."""
+    if callable(metric) and not isinstance(metric, DistanceType):
+        return jnp.asarray(metric(q, tile), jnp.float32)  # CustomUDF
     if metric in (DistanceType.L2Expanded, DistanceType.L2SqrtExpanded):
         dots = pairwise._gemm(q, tile, compute_dtype)
         d = qn[:, None] + tile_norms[None, :] - 2.0 * dots
@@ -94,7 +98,8 @@ def _search_impl(
 ):
     n, d = dataset.shape
     nq = queries.shape[0]
-    min_close = metric != DistanceType.InnerProduct
+    is_udf = callable(metric) and not isinstance(metric, DistanceType)
+    min_close = is_udf or metric != DistanceType.InnerProduct
 
     n_tiles = -(-n // tile_size)
     pad = n_tiles * tile_size - n

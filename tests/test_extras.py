@@ -173,3 +173,44 @@ def test_composite_merge():
                            strategy="physical")
     d2, i2 = brute_force.search(phys, q, 10)
     assert calc_recall(np.asarray(i2), gti) >= 0.999
+
+
+def test_custom_udf_metric():
+    import jax.numpy as jnp
+
+    from cuvs_tpu.distance import pairwise_distance
+    from cuvs_tpu.neighbors import brute_force
+
+    def weighted_l1(x, y):
+        w = jnp.arange(1, x.shape[1] + 1, dtype=jnp.float32)
+        return jnp.sum(jnp.abs(x[:, None, :] - y[None, :, :]) * w, axis=-1)
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((200, 6)).astype(np.float32)
+    q = rng.standard_normal((10, 6)).astype(np.float32)
+    got = np.asarray(pairwise_distance(q, x, metric=weighted_l1))
+    w = np.arange(1, 7, dtype=np.float32)
+    want = (np.abs(q[:, None] - x[None]) * w).sum(-1)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    idx = brute_force.build(x, metric=weighted_l1)
+    d, i = brute_force.search(idx, q, 5)
+    gti = np.argsort(want, 1)[:, :5]
+    assert (np.asarray(i) == gti).mean() > 0.98
+
+
+def test_cross_component_nn():
+    from cuvs_tpu.neighbors.cross_component import cross_component_nn
+
+    rng = np.random.default_rng(8)
+    a = rng.standard_normal((50, 4)).astype(np.float32)
+    b = rng.standard_normal((60, 4)).astype(np.float32) + 10.0
+    x = np.concatenate([a, b])
+    comp = np.array([0] * 50 + [1] * 60)
+    edges = cross_component_nn(x, comp)
+    assert edges.shape == (2, 3)
+    # edge 0: from component 0 into component 1 and vice versa
+    assert comp[int(edges[0, 0])] == 0 and comp[int(edges[0, 1])] == 1
+    assert comp[int(edges[1, 0])] == 1 and comp[int(edges[1, 1])] == 0
+    # symmetric minimal edge => same distance both ways
+    np.testing.assert_allclose(edges[0, 2], edges[1, 2], rtol=1e-5)

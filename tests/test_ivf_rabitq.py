@@ -1,0 +1,54 @@
+import numpy as np
+import pytest
+
+from cuvs_tpu.neighbors import ivf_rabitq, refine, filters
+from tests.utils import naive_knn, calc_recall, make_blobs
+
+RNG = np.random.default_rng(131)
+
+
+def test_recall_with_refine():
+    x = make_blobs(RNG, 20000, 64, n_centers=100)
+    q = make_blobs(RNG, 100, 64, n_centers=100)
+    idx = ivf_rabitq.build(x, n_lists=64, bits_per_dim=3, seed=0)
+    _, cand = ivf_rabitq.search(idx, q, 40, n_probes=32)
+    rd, ri = refine.refine(x, q, cand, 10)
+    gtd, gti = naive_knn(q, x, 10)
+    rec = calc_recall(np.asarray(ri), gti)
+    assert rec >= 0.9, rec
+
+
+def test_bits_tradeoff():
+    x = make_blobs(RNG, 10000, 32)
+    q = make_blobs(RNG, 64, 32)
+    gtd, gti = naive_knn(q, x, 10)
+    recalls = {}
+    for bits in (1, 4, 8):
+        idx = ivf_rabitq.build(x, n_lists=32, bits_per_dim=bits, seed=0)
+        _, i = ivf_rabitq.search(idx, q, 10, n_probes=32)
+        recalls[bits] = calc_recall(np.asarray(i), gti)
+    assert recalls[8] >= recalls[4] >= recalls[1] - 0.05, recalls
+    assert recalls[8] >= 0.85, recalls
+
+
+def test_memory_footprint():
+    x = make_blobs(RNG, 5000, 64)
+    idx = ivf_rabitq.build(x, n_lists=16, bits_per_dim=3, seed=0)
+    assert idx.sorted_codes.dtype == np.uint8
+    # uint8 storage (bit-packing pending) is already 4x under raw f32
+    assert idx.sorted_codes.nbytes <= x.nbytes // 2
+
+
+def test_bad_bits():
+    with pytest.raises(ValueError):
+        ivf_rabitq.IndexParams(bits_per_dim=12)
+
+
+def test_prefilter():
+    x = make_blobs(RNG, 5000, 16)
+    q = make_blobs(RNG, 16, 16)
+    keep = RNG.random(5000) > 0.5
+    idx = ivf_rabitq.build(x, n_lists=16, seed=0)
+    d, i = ivf_rabitq.search(idx, q, 10, n_probes=16, prefilter=filters.from_mask(keep))
+    i, d = np.asarray(i), np.asarray(d)
+    assert keep[i[np.isfinite(d)]].all()
