@@ -65,9 +65,17 @@ def load(name: str, max_rows: Optional[int] = None, seed: int = 0) -> Dataset:
                 else base[:nq].copy()
             )
             return Dataset(name, base, queries[:nq], metric, synthetic=False)
+    # synthetic stand-in with realistic structure: embedding-like data has
+    # low intrinsic dimension (~dim/4), which is what makes ANN work; pure
+    # iid gaussians are the degenerate worst case and would make recall
+    # numbers meaningless
     rng = np.random.default_rng(seed)
-    base = rng.standard_normal((n, dim), dtype=np.float32)
-    queries = rng.standard_normal((nq, dim), dtype=np.float32)
+    r = max(8, dim // 4)
+    proj = rng.standard_normal((r, dim)).astype(np.float32) / np.sqrt(r)
+    base = rng.standard_normal((n, r), dtype=np.float32) @ proj
+    base += 0.05 * rng.standard_normal((n, dim), dtype=np.float32)
+    queries = rng.standard_normal((nq, r), dtype=np.float32) @ proj
+    queries += 0.05 * rng.standard_normal((nq, dim), dtype=np.float32)
     return Dataset(name, base, queries, metric, synthetic=True)
 
 

@@ -200,18 +200,35 @@ def search(
     query_chunk: int = 1024,
     compute_dtype=jnp.float32,
     recall_target: Optional[float] = None,
+    fused: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact k-NN search. Returns (distances [nq,k], neighbors [nq,k] int32).
 
     ``recall_target < 1.0`` switches the selection to the TPU-approximate
-    partial reduction (exact on CPU). Filtered-out / padded slots carry
-    +inf (-inf for InnerProduct). ``tile_size`` defaults to the whole
-    dataset when the [chunk, n] block fits in ~512 MB, else column tiles.
+    partial reduction (exact on CPU). ``fused=True`` routes L2/IP unfiltered
+    searches through the Pallas fused distance+top-k kernel
+    (ops/bf_topk_pallas.py) — exact, and HBM-traffic-free for the distance
+    matrix. Filtered-out / padded slots carry +inf (-inf for InnerProduct).
+    ``tile_size`` defaults to the whole dataset when the [chunk, n] block
+    fits in ~512 MB, else column tiles.
     """
     queries = jnp.asarray(queries)
     nq = queries.shape[0]
     if prefilter is None:
         prefilter = filt.no_filter()
+    if (
+        fused
+        and prefilter.is_none
+        and index.metric in (DistanceType.L2Expanded, DistanceType.L2SqrtExpanded,
+                             DistanceType.InnerProduct)
+        and k <= 64
+    ):
+        from cuvs_tpu.ops import bf_topk_pallas
+
+        return bf_topk_pallas.search(
+            index.dataset, index.norms, queries, int(k), metric=index.metric,
+            compute_dtype=compute_dtype,
+        )
     query_chunk = int(min(query_chunk, max(8, nq)))
     if tile_size is None:
         budget_cols = max(8192, (512 * 1024 * 1024 // 4) // max(query_chunk, 1))

@@ -36,15 +36,23 @@ def _detour_counts(graph: jnp.ndarray, chunk: int = 1024) -> jnp.ndarray:
     def chunk_fn(gu):  # [chunk, K]
         two_hop = graph[gu]  # [chunk, K, K]
 
-        def rank_step(i):
-            v = jnp.take_along_axis(gu, jnp.full((gu.shape[0], 1), i), axis=1)  # [chunk,1]
-            # v in graph[w] for each w = gu[:, j]
-            member = jnp.any(two_hop == v[:, :, None], axis=2)  # [chunk, K]
-            j_lt_i = jnp.arange(K) < i
-            return jnp.sum(jnp.logical_and(member, j_lt_i[None, :]), axis=1)
+        # scan over the intermediate rank j: count[u, i] += (i > j) and
+        # (gu[u, i] ∈ graph[gu[u, j]]). Bounded [chunk, K, K] intermediates
+        # per step keep compile size and VMEM pressure low.
+        def j_step(counts, j):
+            nbrs_j = jnp.take_along_axis(
+                two_hop, jnp.full((gu.shape[0], 1, 1), j, jnp.int32), axis=1
+            )[:, 0, :]  # [chunk, K] = graph[gu[:, j]]
+            member = jnp.any(
+                gu[:, :, None] == nbrs_j[:, None, :], axis=2
+            )  # [chunk, K]: is gu[u, i] in graph[gu[u, j]]?
+            i_gt_j = jnp.arange(K, dtype=jnp.int32) > j
+            return counts + jnp.logical_and(member, i_gt_j[None, :]).astype(jnp.int32), None
 
-        counts = jax.vmap(rank_step, out_axes=1)(jnp.arange(K))
-        return counts.astype(jnp.int32)
+        counts, _ = lax.scan(
+            j_step, jnp.zeros((gu.shape[0], K), jnp.int32), jnp.arange(K, dtype=jnp.int32)
+        )
+        return counts
 
     counts = lax.map(chunk_fn, gp.reshape(-1, chunk, K))
     return counts.reshape(-1, K)[:n]

@@ -1,0 +1,2 @@
+from cuvs_tpu.ops import bf_topk_pallas
+__all__ = ["bf_topk_pallas"]
