@@ -15,6 +15,7 @@ no absolute numbers — BASELINE.json "published": {}).
 
 import json
 import os
+import signal
 import sys
 import time
 
@@ -22,11 +23,12 @@ import numpy as np
 
 H100_BASELINE_QPS = 600_000.0
 
-N = int(os.environ.get("BENCH_N", 131072))
-DIM = int(os.environ.get("BENCH_DIM", 96))
+N = int(os.environ.get("BENCH_N", 1_000_000))
+DIM = int(os.environ.get("BENCH_DIM", 128))
 NQ = int(os.environ.get("BENCH_NQ", 4096))
 K = 10
 GT_N = 1024
+CAGRA_BUDGET_S = float(os.environ.get("BENCH_CAGRA_BUDGET_S", 1200))
 
 
 def _recall(found, gt):
@@ -43,15 +45,33 @@ def main():
 
     from cuvs_tpu.neighbors import brute_force, cagra
 
+    # low-intrinsic-dimension synthetic (embedding-like; iid gaussian is
+    # the degenerate ANN case and wildly unrepresentative)
     rng = np.random.default_rng(0)
-    x = jax.device_put(rng.standard_normal((N, DIM)).astype(np.float32))
-    q = jax.device_put(rng.standard_normal((NQ, DIM)).astype(np.float32))
+    r = max(16, DIM // 4)
+    proj = (rng.standard_normal((r, DIM)) / np.sqrt(r)).astype(np.float32)
+    xh = rng.standard_normal((N, r), dtype=np.float32) @ proj
+    xh += 0.05 * rng.standard_normal((N, DIM), dtype=np.float32)
+    qh = rng.standard_normal((NQ, r), dtype=np.float32) @ proj
+    qh += 0.05 * rng.standard_normal((NQ, DIM), dtype=np.float32)
+    x = jax.device_put(xh)
+    q = jax.device_put(qh)
+    del xh, qh
+    t_start = time.time()
 
     def sync(t):
         jax.block_until_ready(t)
         return t
 
     results = []  # (qps, recall, label)
+
+    # if the driver kills us mid-phase, still emit the best-so-far line
+    def _on_term(signum, frame):
+        _emit(results)
+        sys.stdout.flush()
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, _on_term)
 
     # ---- ground truth (exact, f32-HIGH) ----
     t0 = time.time()
@@ -62,7 +82,7 @@ def main():
 
     # ---- contender 1: brute force bf16 + approx select ----
     for rt, label in ((None, "bf_exact_bf16"), (0.97, "bf_approx_bf16")):
-        kw = dict(compute_dtype=jnp.bfloat16, recall_target=rt, query_chunk=4096)
+        kw = dict(compute_dtype=jnp.bfloat16, recall_target=rt, query_chunk=1024)
         d, i = sync(brute_force.search(bf, q, K, **kw))
         rec = _recall(np.asarray(i)[:GT_N], gti)
         reps = 5
@@ -74,13 +94,17 @@ def main():
         print(f"# {label}: recall@10={rec:.4f} qps={qps:.0f}", file=sys.stderr)
         results.append((qps, rec, label))
 
-    # ---- contender 2: CAGRA ----
+    # ---- contender 2: CAGRA (skipped if the time budget is spent) ----
+    if time.time() - t_start > CAGRA_BUDGET_S:
+        print("# skipping cagra (budget)", file=sys.stderr)
+        _emit(results)
+        return
     t0 = time.time()
     index = cagra.build(
         x,
         intermediate_graph_degree=64,
         graph_degree=32,
-        build_algo="brute_force",
+        build_algo="auto",
         build_compute_dtype=jnp.bfloat16,
         build_recall_target=0.97,
         seed=0,
@@ -101,6 +125,10 @@ def main():
         print(f"# cagra itopk={itopk}: recall@10={rec:.4f} qps={qps:.0f}", file=sys.stderr)
         results.append((qps, rec, f"cagra_itopk{itopk}"))
 
+    _emit(results)
+
+
+def _emit(results):
     qualified = [r for r in results if r[1] >= 0.95]
     best = max(qualified or results, key=lambda r: r[0])
     qps, rec, label = best

@@ -364,3 +364,80 @@ def merge(indexes, datasets=None, strategy: str = "physical", params: Optional[I
         data = jnp.concatenate([ix.dataset for ix in indexes], axis=0)
         return build(data, params) if params is not None else build(data)
     return composite.merge(mod, indexes, strategy="logical")
+
+
+@dataclasses.dataclass(frozen=True)
+class AceParams:
+    """Mirrors cagra::ace_params (cagra.hpp:41-101): partitioned
+    out-of-core builds for graphs larger than device memory."""
+
+    npartitions: int = 4
+    overlap: int = 2  # core + (overlap-1) halo partitions per point
+    build_dir: Optional[str] = None  # spill the graph to disk (np.memmap)
+    intermediate_graph_degree: int = 64
+    graph_degree: int = 32
+    seed: int = 0
+
+
+def build_ace(dataset, params: Optional[AceParams] = None, **kw) -> Index:
+    """ACE (Augmented Core Extraction) build (cagra_build.cuh:77-1028).
+
+    Partition by balanced k-means; each partition's sub-graph is built over
+    its core members plus halo members (points whose 2nd-nearest partition
+    is this one), so edges near partition boundaries stay correct; only
+    core rows are written to the global graph. Device memory holds one
+    partition at a time; the global graph can live in a disk-backed memmap.
+    """
+    import numpy as np
+
+    from cuvs_tpu.cluster import kmeans_balanced
+    from cuvs_tpu.distance.pairwise import pairwise_distance
+
+    if params is None:
+        params = AceParams(**kw)
+    x = np.asarray(dataset, np.float32)
+    n, d = x.shape
+    P = max(2, params.npartitions)
+    deg = params.graph_degree
+
+    centers = kmeans_balanced.fit(x, P, seed=params.seed)
+    d2c = np.asarray(pairwise_distance(x, np.asarray(centers)))
+    ranks = np.argsort(d2c, axis=1)[:, : params.overlap]  # [n, overlap]
+
+    if params.build_dir:
+        import os
+
+        os.makedirs(params.build_dir, exist_ok=True)
+        graph = np.lib.format.open_memmap(
+            os.path.join(params.build_dir, "ace_graph.npy"),
+            mode="w+", dtype=np.int32, shape=(n, deg),
+        )
+    else:
+        graph = np.zeros((n, deg), np.int32)
+
+    for p in range(P):
+        core = np.where(ranks[:, 0] == p)[0]
+        halo = np.where((ranks[:, 1:] == p).any(axis=1))[0]
+        members = np.concatenate([core, halo])
+        if len(members) <= deg:
+            # degenerate tiny partition: connect within itself
+            sub = np.resize(members, (len(core), deg))
+            graph[core] = sub
+            continue
+        sub_index = build(
+            x[members],
+            IndexParams(
+                intermediate_graph_degree=min(params.intermediate_graph_degree, len(members) - 1),
+                graph_degree=min(deg, len(members) - 1),
+                seed=params.seed,
+            ),
+        )
+        sub_graph = np.asarray(sub_index.graph)  # local ids over `members`
+        core_rows = sub_graph[: len(core)]
+        remapped = members[core_rows]
+        if remapped.shape[1] < deg:
+            remapped = np.pad(remapped, ((0, 0), (0, deg - remapped.shape[1])), mode="edge")
+        graph[core] = remapped
+    if params.build_dir:
+        graph.flush()
+    return from_graph(jnp.asarray(x), np.asarray(graph))

@@ -56,15 +56,16 @@ def build_knn_graph(
     """k-NN graph over the dataset (self-edges removed).
 
     Returns (neighbors [n, k] int32 sorted by distance, distances [n, k]).
-    algo: "brute_force" | "ivf_pq" | "auto" (brute force below 150k rows —
-    the MXU makes exact all-pairs the fastest choice there, mirroring the
-    reference's memory-based heuristic at cagra_build.cuh:2208-2219).
+    algo: "brute_force" | "nn_descent" | "ivf_pq" | "auto" — brute force
+    below 150k rows (the MXU makes exact all-pairs fastest there),
+    nn_descent above (mirroring the reference's heuristic at
+    cagra_build.cuh:2208-2219).
     """
     dataset = jnp.asarray(dataset)
     n, d = dataset.shape
     metric = normalize_metric(metric)
     if algo == "auto":
-        algo = "brute_force" if n <= 150_000 else "ivf_pq"
+        algo = "brute_force" if n <= 150_000 else "nn_descent"
 
     if algo == "brute_force":
         import jax.numpy as _jnp
@@ -82,6 +83,22 @@ def build_knn_graph(
         ids = jnp.concatenate(all_ids, axis=0)
         dists = jnp.concatenate(all_dists, axis=0)
         return _drop_self(ids, dists, k)
+
+    if algo == "nn_descent":
+        from cuvs_tpu.neighbors import nn_descent
+
+        import jax.numpy as _jnp
+
+        return nn_descent.build(
+            dataset,
+            nn_descent.IndexParams(
+                graph_degree=k,
+                intermediate_graph_degree=max(k + 16, int(k * 1.5)),
+                metric=metric,
+                seed=seed,
+            ),
+            compute_dtype=compute_dtype if compute_dtype is not None else _jnp.float32,
+        )
 
     if algo == "ivf_pq":
         if ivf_pq_params is None:

@@ -146,6 +146,9 @@ def build(
     # coverage of the two-hop neighborhood per round governs convergence
     # speed; ~K^2 samples reaches >0.99 graph recall in <8 rounds
     S = params.sample_per_node or min(2048, max(16 * K, K * K))
+    # bound the [chunk, S, d] candidate-vector gather (plus masks) to ~2 GB
+    budget_rows = max(256, (2 * 1024**3) // max(S * d * 4, 1))
+    chunk = 1 << (min(chunk, budget_rows).bit_length() - 1)
     chunk = min(chunk, max(8, n))
     norms = pairwise.row_norms(dataset)
 

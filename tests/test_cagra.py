@@ -116,3 +116,19 @@ def test_extend():
     # new nodes are findable: search for them exactly
     _, i2 = cagra.search(idx, x[4500:4510], 1, itopk_size=64)
     assert (np.asarray(i2).ravel() == np.arange(4500, 4510)).mean() >= 0.8
+
+
+def test_ace_build(tmp_path):
+    x, q = _data(6000, 16, 30)
+    idx = cagra.build_ace(
+        x, npartitions=3, intermediate_graph_degree=48, graph_degree=24,
+        build_dir=str(tmp_path), seed=0,
+    )
+    assert idx.size == 6000 and idx.graph_degree == 24
+    import os
+
+    assert os.path.exists(str(tmp_path) + "/ace_graph.npy")  # disk spill
+    gtd, gti = naive_knn(q, x, 10)
+    _, i = cagra.search(idx, q, 10, itopk_size=96)
+    rec = calc_recall(np.asarray(i), gti)
+    assert rec >= 0.8, rec
