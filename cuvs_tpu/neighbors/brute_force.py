@@ -218,6 +218,7 @@ def search(
         prefilter = filt.no_filter()
     if (
         fused
+        and jax.default_backend() == "tpu"  # Pallas compiled mode is TPU-only
         and prefilter.is_none
         and index.metric in (DistanceType.L2Expanded, DistanceType.L2SqrtExpanded,
                              DistanceType.InnerProduct)

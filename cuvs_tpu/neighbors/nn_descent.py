@@ -50,22 +50,17 @@ class IndexParams:
 @functools.partial(
     jax.jit, static_argnames=("K", "S", "chunk", "compute_dtype")
 )
-def _expand_round(key, dataset, norms, graph, graph_d, K, S, chunk, compute_dtype):
+def _expand_round(key, dataset, norms, graph, graph_d, adj, K, S, chunk, compute_dtype):
     """One expansion round. graph/graph_d: [n, K] sorted by distance.
 
-    Candidates are sampled from the two-hop neighborhood of the UNION of
-    forward and reverse edges — the same information the reference's
-    new/old local-join uses (nn_descent.cuh:599): a join between u's
-    neighbors p, q updates both directions, which here corresponds to q
-    reaching p through the reverse edge q<-u.
+    ``adj`` [n, 2K] is the union of forward and reverse edges (built
+    outside this program to keep each compile small) — the same
+    information the reference's new/old local-join uses
+    (nn_descent.cuh:599): a join between u's neighbors p, q updates both
+    directions, which here corresponds to q reaching p through the
+    reverse edge q<-u.
     """
-    from cuvs_tpu.neighbors.graph_core import _reverse_graph
-
     n, d = dataset.shape
-    rev, rev_valid = _reverse_graph(graph, K)
-    rows_all = jnp.arange(n, dtype=jnp.int32)
-    rev = jnp.where(rev_valid, rev, rows_all[:, None])  # self = no-op
-    adj = jnp.concatenate([graph, rev], axis=1)  # [n, 2K]
 
     pad = (-n) % chunk
     gp = jnp.pad(graph, ((0, pad), (0, 0)))
@@ -154,24 +149,50 @@ def build(
 
     key = jax.random.PRNGKey(params.seed)
     k_init, key = jax.random.split(key)
-    # random init graph + its distances
+    # random init graph + its distances (chunked: the [n, K, d] gather
+    # would be tens of GB at 1M rows)
     graph = jax.random.randint(k_init, (n, K), 0, n).astype(jnp.int32)
-    dots = jnp.einsum(
-        "nd,nkd->nk", jnp.asarray(dataset, jnp.float32),
-        jnp.asarray(dataset, jnp.float32)[graph],
-        precision=lax.Precision.HIGH,
-    )
-    graph_d = jnp.maximum(norms[:, None] + norms[graph] - 2.0 * dots, 0.0)
-    graph_d = jnp.where(graph == jnp.arange(n, dtype=jnp.int32)[:, None], jnp.inf, graph_d)
+
+    @functools.partial(jax.jit, static_argnames=("rows",))
+    def _init_dists(dataset_f, graph, norms, rows):
+        pad = (-graph.shape[0]) % rows
+        gp = jnp.pad(graph, ((0, pad), (0, 0)))
+        rp = jnp.pad(jnp.arange(graph.shape[0], dtype=jnp.int32), (0, pad))
+
+        def chunk_fn(args):
+            g, r = args
+            dots = jnp.einsum(
+                "nd,nkd->nk", dataset_f[r], dataset_f[g],
+                precision=lax.Precision.HIGH,
+            )
+            d = jnp.maximum(norms[r][:, None] + norms[g] - 2.0 * dots, 0.0)
+            return jnp.where(g == r[:, None], jnp.inf, d)
+
+        out = lax.map(chunk_fn, (gp.reshape(-1, rows, K), rp.reshape(-1, rows)))
+        return out.reshape(-1, K)[: graph.shape[0]]
+
+    init_rows = max(256, min(n, (1 << 30) // max(K * d * 4, 1)))
+    init_rows = 1 << (init_rows.bit_length() - 1)
+    graph_d = _init_dists(jnp.asarray(dataset, jnp.float32), graph, norms, int(init_rows))
     order = jnp.argsort(graph_d, axis=1)
     graph = jnp.take_along_axis(graph, order, axis=1)
     graph_d = jnp.take_along_axis(graph_d, order, axis=1)
 
+    from cuvs_tpu.neighbors.graph_core import _reverse_graph
+
+    @jax.jit
+    def _adjacency(graph):
+        rev, rev_valid = _reverse_graph(graph, K)
+        rows_all = jnp.arange(n, dtype=jnp.int32)
+        rev = jnp.where(rev_valid, rev, rows_all[:, None])  # self = no-op
+        return jnp.concatenate([graph, rev], axis=1)  # [n, 2K]
+
     total_slots = float(n * K)
     for it in range(params.max_iterations):
         key, k_it = jax.random.split(key)
+        adj = _adjacency(graph)
         graph, graph_d, changed = _expand_round(
-            k_it, dataset, norms, graph, graph_d, K, S, chunk, compute_dtype
+            k_it, dataset, norms, graph, graph_d, adj, K, S, chunk, compute_dtype
         )
         if float(changed) / total_slots < params.termination_threshold:
             break

@@ -138,18 +138,32 @@ def build(dataset, params: Optional[IndexParams] = None, **kw) -> Index:
         kept_np = np.asarray(kept)
         graph[ids] = kept_np
 
-        # reverse edges: v gains an edge to the new node; overflow rows
-        # are re-pruned by dropping their worst slot
-        for row_i, new_id in zip(kept_np, ids):
-            for v in row_i:
-                if v < 0:
-                    continue
-                slots = graph[v]
-                free = np.where(slots < 0)[0]
-                if len(free):
-                    graph[v, free[0]] = new_id
-                else:
-                    graph[v, -1] = new_id  # replace worst-rank edge
+        # reverse edges: v gains an edge to each new node pointing at it;
+        # vectorized via sorted grouping; per-target overflow replaces the
+        # worst-rank slots (RobustPrune-lite, matching the reference's
+        # reverse pass semantics)
+        src = np.repeat(ids, R)
+        dst = kept_np.reshape(-1)
+        ok = dst >= 0
+        src, dst = src[ok], dst[ok]
+        order = np.argsort(dst, kind="stable")
+        dst_s, src_s = dst[order], src[order]
+        first = np.concatenate([[True], dst_s[1:] != dst_s[:-1]])
+        group_start = np.maximum.accumulate(np.where(first, np.arange(len(dst_s)), 0))
+        slot_rank = np.arange(len(dst_s)) - group_start
+        free_count = (graph[dst_s] < 0).sum(1)
+        # slot: next free slot if available, else replace from the tail
+        n_slots = graph.shape[1]
+        free_pos = n_slots - free_count  # index of first free slot
+        tgt_slot = np.where(
+            slot_rank < free_count,
+            free_pos + slot_rank,
+            n_slots - 1 - np.minimum(slot_rank - free_count, n_slots - 1),
+        )
+        # rows keep forward edges sorted first; compact free slots to the end
+        row_sorted = np.sort(graph[dst_s], axis=1)[:, ::-1]  # valid first, -1 last
+        graph[dst_s] = row_sorted
+        graph[dst_s, tgt_slot] = src_s
         built += batch
 
     return Index(dataset=x, graph=graph, medoid=medoid, metric=params.metric)
