@@ -115,6 +115,8 @@ def _cagra_phase(results, x, q, gti, t_start):
     if time.time() - t_start > CAGRA_BUDGET_S:
         print("# skipping cagra (budget)", file=sys.stderr)
         return
+    from cuvs_tpu.neighbors import nn_descent
+
     t0 = time.time()
     index = cagra.build(
         x,
@@ -123,6 +125,10 @@ def _cagra_phase(results, x, q, gti, t_start):
         build_algo="auto",
         build_compute_dtype=jnp.bfloat16,
         build_recall_target=0.97,
+        nn_descent_params=nn_descent.IndexParams(
+            graph_degree=64, intermediate_graph_degree=64,
+            max_iterations=10, sample_per_node=512, seed=0,
+        ),
         seed=0,
     )
     jax.block_until_ready(index.graph)

@@ -55,6 +55,7 @@ class IndexParams:
     seed: int = 0
     build_compute_dtype: object = None  # e.g. jnp.bfloat16 for 8x faster graphs
     build_recall_target: object = None  # approx selection during graph build
+    nn_descent_params: object = None  # override the nn_descent build config
 
     def __post_init__(self):
         object.__setattr__(self, "metric", normalize_metric(self.metric))
@@ -92,6 +93,62 @@ class Index:
     def graph_degree(self) -> int:
         return self.graph.shape[1]
 
+    @property
+    def data_pack(self):
+        return (self.dataset,)
+
+
+@flax.struct.dataclass
+class CompressedIndex:
+    """CAGRA index over a VPQ-compressed dataset (cagra.hpp ``compression``
+    VPQ option; dataset abstraction common.hpp:411 vpq_dataset). Candidate
+    vectors are decoded on the fly during the beam search."""
+
+    vq_centers: jnp.ndarray  # [vq_n, d]
+    vq_codes: jnp.ndarray  # [n] int32
+    pq_codes: jnp.ndarray  # [n, pq_dim] uint8
+    pq_codebooks: jnp.ndarray  # [pq_dim, book, pq_len]
+    dataset_norms: jnp.ndarray  # [n] squared norms of the RECONSTRUCTION
+    graph: jnp.ndarray  # [n, degree] int32
+    metric: DistanceType = flax.struct.field(pytree_node=False, default=DistanceType.L2Expanded)
+
+    @property
+    def size(self) -> int:
+        return self.vq_codes.shape[0]
+
+    @property
+    def dim(self) -> int:
+        return self.vq_centers.shape[1]
+
+    @property
+    def graph_degree(self) -> int:
+        return self.graph.shape[1]
+
+    @property
+    def data_pack(self):
+        return (self.vq_centers, self.vq_codes, self.pq_codes, self.pq_codebooks)
+
+
+def compress(index: Index, vq_n_centers: int = 256, pq_dim: int = 0,
+             pq_bits: int = 8, seed: int = 0) -> CompressedIndex:
+    """Replace the raw dataset with VPQ codes (cagra compression,
+    cagra_build.cuh:2311 vpq_build path). Graph is kept as-is."""
+    from cuvs_tpu.preprocessing import quantize as q
+
+    vpq = q.vpq_train(index.dataset, vq_n_centers=vq_n_centers, pq_dim=pq_dim,
+                      pq_bits=pq_bits, seed=seed)
+    vq_codes, pq_codes = q.vpq_encode(vpq, index.dataset)
+    recon = q.vpq_decode(vpq, vq_codes, pq_codes)
+    return CompressedIndex(
+        vq_centers=vpq.vq_centers,
+        vq_codes=vq_codes,
+        pq_codes=pq_codes,
+        pq_codebooks=vpq.pq.codebooks,
+        dataset_norms=pairwise.row_norms(recon),
+        graph=index.graph,
+        metric=index.metric,
+    )
+
 
 @traced("cagra::build")
 def build(dataset, params: Optional[IndexParams] = None, **kw) -> Index:
@@ -112,6 +169,7 @@ def build(dataset, params: Optional[IndexParams] = None, **kw) -> Index:
         seed=params.seed,
         compute_dtype=params.build_compute_dtype,
         recall_target=params.build_recall_target,
+        nn_descent_params=params.nn_descent_params,
     )
     graph = graph_core.optimize(neighbors, gdeg)
     return from_graph(dataset, graph, metric=params.metric)
@@ -128,9 +186,21 @@ def from_graph(dataset, graph, metric=DistanceType.L2Expanded) -> Index:
     )
 
 
-def _distances_to(dataset, dataset_norms, q, qnorm, ids, metric, compute_dtype):
+def _decode_rows(data_pack, ids):
+    """Rows for candidate ids from raw or VPQ-compressed storage."""
+    if len(data_pack) == 1:
+        return data_pack[0][ids]
+    vq_centers, vq_codes, pq_codes, codebooks = data_pack
+    c = pq_codes[ids].astype(jnp.int32)  # [..., pq_dim]
+    pq_dim = codebooks.shape[0]
+    rec = codebooks[jnp.arange(pq_dim), c, :]  # [..., pq_dim, pq_len]
+    rec = rec.reshape(c.shape[:-1] + (-1,))
+    return vq_centers[vq_codes[ids]] + rec[..., : vq_centers.shape[1]]
+
+
+def _distances_to(data_pack, dataset_norms, q, qnorm, ids, metric, compute_dtype):
     """Batched query->nodes distances. q [B,d], ids [B,C] -> [B,C]."""
-    vecs = dataset[ids]  # [B, C, d]
+    vecs = _decode_rows(data_pack, ids)  # [B, C, d]
     dots = lax.dot_general(
         q.astype(compute_dtype)[:, None, :],
         vecs.astype(compute_dtype),
@@ -150,7 +220,7 @@ def _distances_to(dataset, dataset_norms, q, qnorm, ids, metric, compute_dtype):
     ),
 )
 def _search_chunk(
-    dataset,
+    data_pack,
     dataset_norms,
     graph,
     queries,
@@ -165,7 +235,7 @@ def _search_chunk(
     metric,
     compute_dtype,
 ):
-    n, d = dataset.shape
+    n = dataset_norms.shape[0]
     deg = graph.shape[1]
     B = queries.shape[0]
     L = itopk
@@ -183,7 +253,7 @@ def _search_chunk(
     # --- random init (num_random_samplings * itopk seeds) ---
     n_seeds = max(L, n_random * L)
     seeds = jax.random.randint(key, (B, n_seeds), 0, n)
-    seed_d = _distances_to(dataset, dataset_norms, qc, qnorm, seeds, metric, compute_dtype)
+    seed_d = _distances_to(data_pack, dataset_norms, qc, qnorm, seeds, metric, compute_dtype)
     # dedup identical seeds (duplicates in the itopk would be returned twice)
     s_idx = jnp.argsort(seeds, axis=1)
     s_sorted = jnp.take_along_axis(seeds, s_idx, axis=1)
@@ -237,7 +307,7 @@ def _search_chunk(
         invalid = jnp.logical_or(children < 0, jnp.logical_or(dup_itopk, dup_within))
 
         cand_d = _distances_to(
-            dataset, dataset_norms, qc, qnorm, jnp.maximum(children, 0), metric, compute_dtype
+            data_pack, dataset_norms, qc, qnorm, jnp.maximum(children, 0), metric, compute_dtype
         )
         cand_d = jnp.where(invalid, jnp.inf, cand_d)
 
@@ -296,7 +366,7 @@ def search(
         qids = jnp.arange(s, s + chunk, dtype=jnp.int32)
         qids = jnp.minimum(qids, nq - 1)
         d, i = _search_chunk(
-            index.dataset,
+            index.data_pack,
             index.dataset_norms,
             index.graph,
             q,

@@ -52,6 +52,7 @@ def build_knn_graph(
     seed: int = 0,
     compute_dtype=None,
     recall_target=None,
+    nn_descent_params=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """k-NN graph over the dataset (self-edges removed).
 
@@ -89,14 +90,15 @@ def build_knn_graph(
 
         import jax.numpy as _jnp
 
+        nd_params = nn_descent_params or nn_descent.IndexParams(
+            graph_degree=k,
+            intermediate_graph_degree=max(k + 16, int(k * 1.5)),
+            metric=metric,
+            seed=seed,
+        )
         return nn_descent.build(
             dataset,
-            nn_descent.IndexParams(
-                graph_degree=k,
-                intermediate_graph_degree=max(k + 16, int(k * 1.5)),
-                metric=metric,
-                seed=seed,
-            ),
+            nd_params,
             compute_dtype=compute_dtype if compute_dtype is not None else _jnp.float32,
         )
 

@@ -136,3 +136,56 @@ def pq_inverse_transform(q: PQQuantizer, codes) -> jnp.ndarray:
     c = jnp.asarray(codes, jnp.int32)
     rec = q.codebooks[jnp.arange(pq_dim)[None, :], c, :]  # [n, pq_dim, pq_len]
     return rec.reshape(c.shape[0], -1)[:, : q.dim]
+
+
+# ----------------------------------------------------------------------------
+# VPQ: vector quantization (coarse) + product quantization (residual)
+# ----------------------------------------------------------------------------
+
+@flax.struct.dataclass
+class VPQQuantizer:
+    """VQ+PQ compressed dataset codec (cuVS ``vpq_params``/``vpq_dataset``,
+    /root/reference/cpp/include/cuvs/neighbors/common.hpp:46-101, :411;
+    built by vpq_build, consumed by CAGRA compression)."""
+
+    vq_centers: jnp.ndarray  # [vq_n_centers, dim]
+    pq: PQQuantizer  # residual codebooks
+
+
+def vpq_train(
+    dataset,
+    vq_n_centers: int = 256,
+    pq_dim: int = 0,
+    pq_bits: int = 8,
+    kmeans_n_iters: int = 25,
+    seed: int = 0,
+) -> VPQQuantizer:
+    from cuvs_tpu.cluster import kmeans_balanced
+
+    x = jnp.asarray(dataset, jnp.float32)
+    n, dim = x.shape
+    pq_dim = pq_dim or max(1, dim // 4)
+    vq = kmeans_balanced.fit(
+        x, min(vq_n_centers, n),
+        kmeans_balanced.BalancedParams(
+            n_clusters=min(vq_n_centers, n), n_iters=kmeans_n_iters, seed=seed
+        ),
+    )
+    labels = kmeans_balanced.predict(x, vq)
+    res = x - vq[labels]
+    pqq = pq_train(res, pq_dim, pq_bits, n_iters=kmeans_n_iters, seed=seed)
+    return VPQQuantizer(vq_centers=vq, pq=pqq)
+
+
+def vpq_encode(q: VPQQuantizer, dataset):
+    """-> (vq_codes [n] int32, pq_codes [n, pq_dim] uint8)."""
+    from cuvs_tpu.cluster import kmeans_balanced
+
+    x = jnp.asarray(dataset, jnp.float32)
+    labels = kmeans_balanced.predict(x, q.vq_centers)
+    res = x - q.vq_centers[labels]
+    return labels.astype(jnp.int32), pq_transform(q.pq, res)
+
+
+def vpq_decode(q: VPQQuantizer, vq_codes, pq_codes):
+    return q.vq_centers[jnp.asarray(vq_codes)] + pq_inverse_transform(q.pq, pq_codes)

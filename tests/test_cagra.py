@@ -132,3 +132,23 @@ def test_ace_build(tmp_path):
     _, i = cagra.search(idx, q, 10, itopk_size=96)
     rec = calc_recall(np.asarray(i), gti)
     assert rec >= 0.8, rec
+
+
+def test_vpq_compressed_search():
+    x, q = _data(6000, 32, 40)
+    idx = cagra.build(x, intermediate_graph_degree=48, graph_degree=24, seed=0)
+    comp = cagra.compress(idx, vq_n_centers=64, pq_dim=16, seed=0)
+    # compressed storage is much smaller than the raw f32 dataset
+    raw = idx.dataset.nbytes
+    packed = comp.vq_codes.nbytes + comp.pq_codes.nbytes
+    assert packed < raw / 4
+    gtd, gti = naive_knn(q, x, 10)
+    _, i = cagra.search(comp, q, 10, itopk_size=96)
+    rec = calc_recall(np.asarray(i), gti)
+    assert rec >= 0.7, rec  # lossy codes reduce recall; refine recovers it
+    # refine against the raw dataset recovers accuracy
+    from cuvs_tpu.neighbors import refine as rf
+
+    _, cand = cagra.search(comp, q, 30, itopk_size=96)
+    _, ri = rf.refine(x, q, cand, 10)
+    assert calc_recall(np.asarray(ri), gti) >= 0.85

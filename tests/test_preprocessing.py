@@ -75,3 +75,15 @@ def test_pca_roundtrip_and_variance():
     pf = pca.fit(x, 16)
     backf = np.asarray(pca.inverse_transform(pf, pca.transform(pf, x)))
     np.testing.assert_allclose(backf, x, rtol=1e-3, atol=1e-3)
+
+
+def test_vpq_roundtrip():
+    from cuvs_tpu.preprocessing import quantize
+
+    x = make_blobs(RNG, 3000, 32)
+    q = quantize.vpq_train(x, vq_n_centers=64, pq_dim=16, seed=0)
+    vq_codes, pq_codes = quantize.vpq_encode(q, x)
+    assert pq_codes.shape == (3000, 16)
+    back = np.asarray(quantize.vpq_decode(q, vq_codes, pq_codes))
+    rel = np.linalg.norm(back - x) / np.linalg.norm(x)
+    assert rel < 0.12, rel  # VQ+PQ beats plain PQ at equal code size
