@@ -143,7 +143,7 @@ def _cagra_phase(results, x, q, gti, t_start):
     print(f"# cagra build: {time.time()-t0:.1f}s n={N} dim={DIM}", file=sys.stderr)
 
     for itopk in (64, 128):
-        kw = dict(itopk_size=itopk, query_chunk=NQ, compute_dtype=jnp.bfloat16)
+        kw = dict(itopk_size=itopk, search_width=2, query_chunk=NQ, compute_dtype=jnp.bfloat16)
         d, i = sync(cagra.search(index, q, K, **kw))
         rec = _recall(np.asarray(i)[:GT_N], gti)
         reps = 3
