@@ -511,3 +511,46 @@ def build_ace(dataset, params: Optional[AceParams] = None, **kw) -> Index:
     if params.build_dir:
         graph.flush()
     return from_graph(jnp.asarray(x), np.asarray(graph))
+
+
+def build_iterative(
+    dataset,
+    graph_degree: int = 32,
+    intermediate_graph_degree: int = 64,
+    n_rounds: int = 3,
+    metric=DistanceType.L2Expanded,
+    seed: int = 0,
+) -> Index:
+    """Iterative CAGRA build (cagra_build.cuh:2015 iterative-search path):
+    bootstrap a weak graph, then repeatedly CAGRA-search every node's
+    neighbors on the current graph and re-optimize. Useful when neither an
+    exact self-search nor nn-descent fits memory/time budgets.
+    """
+    import numpy as np
+
+    x = jnp.asarray(dataset)
+    n = x.shape[0]
+    ideg = min(intermediate_graph_degree, n - 1)
+    gdeg = min(graph_degree, ideg)
+    key = jax.random.PRNGKey(seed)
+
+    # bootstrap: random regular graph, optimized once
+    graph = jax.random.randint(key, (n, gdeg), 0, n).astype(jnp.int32)
+    index = from_graph(x, graph, metric=metric)
+
+    qf = jnp.asarray(x, jnp.float32)
+    for r in range(n_rounds):
+        # self-search: each node looks for its true neighbors via the
+        # current (imperfect) graph; +1/-self like the exact builder
+        d, nbrs = search(
+            index, qf, min(ideg + 1, n - 1),
+            itopk_size=max(2 * ideg, 64), seed=seed + r,
+        )
+        nbrs = jnp.asarray(nbrs, jnp.int32)
+        rows = jnp.arange(n, dtype=jnp.int32)[:, None]
+        dd = jnp.where(nbrs == rows, jnp.inf, jnp.asarray(d))
+        order = jnp.argsort(dd, axis=1)[:, :ideg]
+        knn = jnp.take_along_axis(nbrs, order, axis=1)
+        graph = graph_core.optimize(knn, gdeg)
+        index = from_graph(x, graph, metric=metric)
+    return index

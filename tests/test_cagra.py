@@ -152,3 +152,14 @@ def test_vpq_compressed_search():
     _, cand = cagra.search(comp, q, 30, itopk_size=96)
     _, ri = rf.refine(x, q, cand, 10)
     assert calc_recall(np.asarray(ri), gti) >= 0.85
+
+
+def test_iterative_build():
+    x, q = _data(4000, 16, 30)
+    idx = cagra.build_iterative(
+        x, graph_degree=16, intermediate_graph_degree=32, n_rounds=3, seed=0
+    )
+    gtd, gti = naive_knn(q, x, 10)
+    _, i = cagra.search(idx, q, 10, itopk_size=96)
+    rec = calc_recall(np.asarray(i), gti)
+    assert rec >= 0.8, rec
