@@ -56,6 +56,8 @@ class IndexParams:
     build_compute_dtype: object = None  # e.g. jnp.bfloat16 for 8x faster graphs
     build_recall_target: object = None  # approx selection during graph build
     nn_descent_params: object = None  # override the nn_descent build config
+    storage_dtype: object = None  # store the dataset as e.g. bfloat16
+    # (halves beam-search HBM gather traffic; norms stay f32)
 
     def __post_init__(self):
         object.__setattr__(self, "metric", normalize_metric(self.metric))
@@ -172,15 +174,20 @@ def build(dataset, params: Optional[IndexParams] = None, **kw) -> Index:
         nn_descent_params=params.nn_descent_params,
     )
     graph = graph_core.optimize(neighbors, gdeg)
-    return from_graph(dataset, graph, metric=params.metric)
+    return from_graph(dataset, graph, metric=params.metric,
+                      storage_dtype=params.storage_dtype)
 
 
-def from_graph(dataset, graph, metric=DistanceType.L2Expanded) -> Index:
+def from_graph(dataset, graph, metric=DistanceType.L2Expanded,
+               storage_dtype=None) -> Index:
     """Assemble an index from an existing graph (update_graph semantics)."""
     dataset = jnp.asarray(dataset)
+    norms = pairwise.row_norms(dataset)
+    if storage_dtype is not None:
+        dataset = dataset.astype(storage_dtype)
     return Index(
         dataset=dataset,
-        dataset_norms=pairwise.row_norms(dataset),
+        dataset_norms=norms,
         graph=jnp.asarray(graph, jnp.int32),
         metric=normalize_metric(metric),
     )
@@ -254,13 +261,12 @@ def _search_chunk(
     n_seeds = max(L, n_random * L)
     seeds = jax.random.randint(key, (B, n_seeds), 0, n)
     seed_d = _distances_to(data_pack, dataset_norms, qc, qnorm, seeds, metric, compute_dtype)
-    # dedup identical seeds (duplicates in the itopk would be returned twice)
-    s_idx = jnp.argsort(seeds, axis=1)
-    s_sorted = jnp.take_along_axis(seeds, s_idx, axis=1)
-    s_dup_adj = jnp.concatenate(
-        [jnp.zeros((B, 1), bool), s_sorted[:, 1:] == s_sorted[:, :-1]], axis=1
-    )
-    s_dup = jnp.zeros_like(s_dup_adj).at[jnp.arange(B)[:, None], s_idx].set(s_dup_adj)
+    # dedup identical seeds (duplicates in the itopk would be returned twice):
+    # mark every seed that equals an earlier seed (pairwise compare — cheaper
+    # on the VPU than a sort at these widths)
+    eq = seeds[:, :, None] == seeds[:, None, :]  # [B, S, S]
+    earlier = jnp.tril(jnp.ones((n_seeds, n_seeds), bool), k=-1)
+    s_dup = jnp.any(jnp.logical_and(eq, earlier[None]), axis=2)
     seed_d = jnp.where(s_dup, jnp.inf, seed_d)
     sv, si = lax.top_k(-seed_d, L)
     state_v = -sv  # [B, L] ascending? top_k returns descending of -d => ascending d
@@ -294,16 +300,12 @@ def _search_chunk(
         children = jnp.where(
             jnp.repeat(parent_valid, deg, axis=1), children, -1
         )
-        # dedup: against current itopk and within candidates
+        # dedup: against current itopk and within candidates (pairwise
+        # compares, no sorts — all VPU work that fuses with the masking)
         dup_itopk = jnp.any(children[:, :, None] == raw_id[:, None, :], axis=2)
-        c_sorted_idx = jnp.argsort(children, axis=1)
-        c_sorted = jnp.take_along_axis(children, c_sorted_idx, axis=1)
-        dup_adj = jnp.concatenate(
-            [jnp.zeros((B, 1), bool), c_sorted[:, 1:] == c_sorted[:, :-1]], axis=1
-        )
-        dup_within = jnp.zeros((B, C), bool).at[
-            jnp.arange(B)[:, None], c_sorted_idx
-        ].set(dup_adj)
+        ceq = children[:, :, None] == children[:, None, :]  # [B, C, C]
+        c_earlier = jnp.tril(jnp.ones((C, C), bool), k=-1)
+        dup_within = jnp.any(jnp.logical_and(ceq, c_earlier[None]), axis=2)
         invalid = jnp.logical_or(children < 0, jnp.logical_or(dup_itopk, dup_within))
 
         cand_d = _distances_to(

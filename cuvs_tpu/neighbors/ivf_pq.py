@@ -16,9 +16,10 @@ TPU-native design:
     reference launches a kmeans per subspace in a host loop).
   * the scan uses the same dense sorted-list windows as ivf_flat; the ADC
     accumulation Σ_s lut[s, code] is a flat gather per (query, window row)
-    that XLA vectorizes on the VPU; codes are stored unpacked uint8
-    (pq_bits ≤ 8 all take one lane — HBM parity with bit-packing can come
-    from a Pallas scan later).
+    that XLA vectorizes on the VPU; codes are stored BIT-PACKED at pq_bits
+    into uint32 words (core/bitpack.py — same bytes/vector as the
+    reference's ivf_pq_codepacking.cuh layout) and unpacked in-register
+    inside the scan with static shifts/masks.
 """
 
 from __future__ import annotations
@@ -33,6 +34,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from cuvs_tpu.cluster import kmeans_balanced
+from cuvs_tpu.core import bitpack
 from cuvs_tpu.utils.tracing import traced
 from cuvs_tpu.distance import pairwise
 from cuvs_tpu.distance.pairwise import DistanceType, normalize_metric
@@ -96,7 +98,7 @@ class Index:
     centers_rot: jnp.ndarray  # [n_lists, rot_dim]
     rotation: jnp.ndarray  # [rot_dim, d] (orthonormal columns)
     pq_centers: jnp.ndarray  # [pq_dim, book, pq_len]
-    sorted_codes: jnp.ndarray  # [n + W, pq_dim] uint8
+    sorted_codes: jnp.ndarray  # [n + W, ceil(pq_dim*pq_bits/32)] uint32 packed
     lists: ivf.SortedLists
     metric: DistanceType = flax.struct.field(pytree_node=False, default=DistanceType.L2Expanded)
     window: int = flax.struct.field(pytree_node=False, default=128)
@@ -239,8 +241,9 @@ def build(dataset, params: Optional[IndexParams] = None, **kw) -> Index:
 
     window = ivf.round_window(int(jnp.max(jnp.zeros((n_lists,), jnp.int32).at[labels].add(1))))
     order, lists = ivf.sort_by_label(labels, n_lists, pad=window)
+    packed = bitpack.pack(codes[order], params.pq_bits)
     sorted_codes = jnp.concatenate(
-        [codes[order], jnp.zeros((window, pq_dim), jnp.uint8)], axis=0
+        [packed, jnp.zeros((window, packed.shape[1]), jnp.uint32)], axis=0
     )
     return Index(
         centers=centers,
@@ -267,7 +270,9 @@ def extend(index: Index, new_vectors, new_ids=None) -> Index:
     res = (xf - index.centers[labels_new]) @ index.rotation.T
     codes_new = _encode(res, index.pq_centers)
 
-    old_codes = index.sorted_codes[:n_old]
+    old_codes = bitpack.unpack(
+        index.sorted_codes[:n_old], index.pq_bits, index.pq_dim
+    ).astype(jnp.uint8)
     old_ids = index.lists.ids[:n_old]
     old_labels = index.lists.labels[:n_old]
     all_codes = jnp.concatenate([old_codes, codes_new], axis=0)
@@ -282,8 +287,9 @@ def extend(index: Index, new_vectors, new_ids=None) -> Index:
     lists = lists._replace(
         ids=jnp.pad(all_ids[order], (0, window), constant_values=0)
     )
+    packed = bitpack.pack(all_codes[order], index.pq_bits)
     sorted_codes = jnp.concatenate(
-        [all_codes[order], jnp.zeros((window, index.pq_dim), jnp.uint8)], axis=0
+        [packed, jnp.zeros((window, packed.shape[1]), jnp.uint32)], axis=0
     )
     return Index(
         centers=index.centers,
@@ -302,7 +308,9 @@ def extend(index: Index, new_vectors, new_ids=None) -> Index:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "n_probes", "metric", "window", "lut_dtype", "qchunk", "recall_target"),
+    static_argnames=(
+        "k", "n_probes", "metric", "window", "lut_dtype", "qchunk", "recall_target", "pq_bits",
+    ),
 )
 def _search_impl(
     index_arrays,
@@ -315,6 +323,7 @@ def _search_impl(
     lut_dtype,
     qchunk,
     recall_target,
+    pq_bits,
 ):
     (centers, center_norms, centers_rot, rotation, pq_centers, sorted_codes, lists) = index_arrays
     nq_all, dim = queries.shape
@@ -369,11 +378,12 @@ def _search_impl(
             lut_flat = lut.reshape(nq, pq_dim * book)
 
             starts = lists.offsets[cluster]
-            codes_w = ivf.window_gather(sorted_codes, starts, window)  # [nq, W, pq_dim] u8
+            words_w = ivf.window_gather(sorted_codes, starts, window)  # [nq, W, words] u32
             ids_w = ivf.window_gather(lists.ids, starts, window)
             lab_w = ivf.window_gather(lists.labels, starts, window)
 
-            flat_idx = codes_w.astype(jnp.int32) + sub_arange[None, None, :]
+            codes_i = bitpack.unpack(words_w, pq_bits, pq_dim)  # [nq, W, pq_dim]
+            flat_idx = codes_i + sub_arange[None, None, :]
             scores = jax.vmap(lambda lt, ix: jnp.sum(lt[ix], axis=-1))(
                 lut_flat.astype(jnp.float32), flat_idx
             )  # [nq, W]
@@ -470,6 +480,7 @@ def search(
             int(chunk),
             params.compute_dtype,
             None if params.recall_target is None else float(params.recall_target),
+            int(index.pq_bits),
         )
 
     qchunk = int(min(params.max_internal_batch_size, max(64, nq)))
@@ -493,4 +504,5 @@ def search(
         params.lut_dtype,
         qchunk,
         None if params.recall_target is None else float(params.recall_target),
+        int(index.pq_bits),
     )

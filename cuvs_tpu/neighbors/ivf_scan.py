@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from cuvs_tpu.core import bitpack
 from cuvs_tpu.distance import pairwise
 from cuvs_tpu.distance.pairwise import DistanceType
 from cuvs_tpu.neighbors import filters as filt
@@ -185,7 +186,7 @@ def cluster_major_scan(
     jax.jit,
     static_argnames=(
         "k", "metric", "window", "max_per_cluster", "cluster_chunk",
-        "compute_dtype", "recall_target",
+        "compute_dtype", "recall_target", "pq_bits",
     ),
 )
 def cluster_major_scan_pq(
@@ -205,6 +206,7 @@ def cluster_major_scan_pq(
     cluster_chunk,
     compute_dtype,
     recall_target,
+    pq_bits=8,
 ):
     """IVF-PQ cluster-major search via decode-and-dot.
 
@@ -240,12 +242,13 @@ def cluster_major_scan_pq(
         C = qi.shape[0]
         safe_c = jnp.minimum(cl, n_lists - 1)
         starts = lists.offsets[safe_c]
-        codes_w = ivf.window_gather(sorted_codes, starts, window)  # [C, W, S] u8
+        words_w = ivf.window_gather(sorted_codes, starts, window)  # [C, W, words] u32
         ids_w = ivf.window_gather(lists.ids, starts, window)
         lab_w = ivf.window_gather(lists.labels, starts, window)
+        codes_w = bitpack.unpack(words_w, pq_bits, pq_dim)  # [C, W, S] int32
 
         # reconstruct in rotated space: y = center_rot + codebook[s, code]
-        recon = pq_centers[sub_ids[None, None, :], codes_w.astype(jnp.int32), :]
+        recon = pq_centers[sub_ids[None, None, :], codes_w, :]
         y = recon.reshape(C, window, rot_dim) + centers_rot[safe_c][:, None, :]
         yn = jnp.sum(y * y, axis=2)  # [C, W]
         yc = y.astype(compute_dtype)
