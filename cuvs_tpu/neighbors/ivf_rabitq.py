@@ -1,23 +1,35 @@
-"""IVF-RaBitQ: inverted file over tiny rotated-residual codes.
+"""IVF-RaBitQ: inverted file over 1-9 bit RaBitQ codes with the unbiased
+inner-product estimator.
 
 Reference: ``cuvs::neighbors::ivf_rabitq``
 (/root/reference/cpp/include/cuvs/neighbors/ivf_rabitq.hpp — n_lists=1024,
-bits_per_dim=3 in [1..9], kmeans_n_iters=20,
-max_train_points_per_cluster=256, search_mode QUANT4/QUANT8/LUT16/LUT32;
-GPU sub-library cpp/src/neighbors/ivf_rabitq/gpu_index/ with rotator,
-quantizer, and shared-memory-optimized searcher). RaBitQ (SIGMOD'24) and
-extended RaBitQ quantize the random-rotated residual to ~1-9 bits/dim
-with an unbiased inner-product estimator.
+bits_per_dim in [1..9]; GPU sub-library
+cpp/src/neighbors/ivf_rabitq/gpu_index/: codes+factors
+quantizer_gpu.cu:220-470, scaling-factor calibration :808-905, query
+factors ivf_gpu.cu:983-1020, distance estimator
+jit_lto_kernels/bitwise_emit_distances_kernel.cu.in:85-108).
 
-TPU-native formulation: codes are the per-row uniformly quantized rotated
-residual (levels = 2^bits), stored uint8 with one scale+offset pair per
-row — the extended-RaBitQ code geometry without bit-packing (packing is a
-pure memory optimization deferred to a Pallas scan). Search reuses the
-cluster-major decode-and-dot scan: dequantization is an affine transform
-fused into the matmul epilogue
-  q . y = scale_r * (q . codes_r) + offset_r * sum(q_rot) + q . center
-so the scan stays one MXU matmul per cluster block over the raw uint8
-codes — no LUT gathers, no shared-memory tricks needed.
+RaBitQ (SIGMOD'24) math, as implemented by the reference:
+  * residual r = x - c is randomly rotated; each dim stores a level
+    ``l ∈ [0, 2^bits)`` whose centred value ``xu = l - (2^bits-1)/2``
+    approximates the direction of r (1-bit: xu = ±0.5 sign grid; ex-bits
+    add magnitude levels of the unit residual, sign-folded).
+  * per-vector factors make the dot estimator unbiased:
+      f_add     = ||r||² + 2||r||²·<c_rot, xu>/<r, xu>
+      f_rescale = -2||r||²/<r, xu>
+    and the L2 estimate is
+      est = f_add + ||q-c||² + f_rescale·(<q_rot, l> + k_b·Σq_rot)
+    with k_b = -(2^bits-1)/2 (so the paren equals <q_rot, xu>).
+  * the magnitude scaling factor is calibrated once per (dim, bits) by
+    maximizing E[<xu, r̄>/||xu||] over random unit vectors.
+
+TPU-native design: codes are bit-packed into uint32 words
+(core/bitpack.py — byte parity with the reference layout) and the scan
+unpacks in-register (static shifts) straight into one MXU matmul
+``q_rot @ l^T`` per probed window; the estimator is a 2-FMA epilogue.
+The reference's QUANT4/QUANT8/LUT16/LUT32 query-quantization modes are a
+GPU register-pressure workaround — on TPU the bf16 MXU path subsumes them
+(``compute_dtype`` knob).
 """
 
 from __future__ import annotations
@@ -29,9 +41,11 @@ from typing import Optional, Tuple
 import flax.struct
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from cuvs_tpu.cluster import kmeans_balanced
+from cuvs_tpu.core import bitpack
 from cuvs_tpu.distance import pairwise
 from cuvs_tpu.distance.pairwise import DistanceType, normalize_metric
 from cuvs_tpu.neighbors import filters as filt
@@ -53,16 +67,17 @@ class IndexParams:
 
     def __post_init__(self):
         object.__setattr__(self, "metric", normalize_metric(self.metric))
-        if not (1 <= self.bits_per_dim <= 8):
-            raise ValueError("bits_per_dim must be in [1, 8]")
+        if not (1 <= self.bits_per_dim <= 9):
+            raise ValueError("bits_per_dim must be in [1, 9]")
 
 
 @dataclasses.dataclass(frozen=True)
 class SearchParams:
-    """Mirrors ivf_rabitq::search_params (ivf_rabitq.hpp:95-107)."""
+    """Mirrors ivf_rabitq::search_params (ivf_rabitq.hpp:95-107). The
+    reference search_mode enum maps to compute_dtype here (see module doc)."""
 
     n_probes: int = 20
-    compute_dtype: object = jnp.bfloat16  # codes are tiny; bf16 dots suffice
+    compute_dtype: object = jnp.bfloat16
     recall_target: object = None
 
 
@@ -71,10 +86,10 @@ class Index:
     centers: jnp.ndarray  # [n_lists, d]
     center_norms: jnp.ndarray
     rotation: jnp.ndarray  # [d, d] random orthogonal
-    sorted_codes: jnp.ndarray  # [n + W, d] uint8 quantized rotated residual
-    sorted_scale: jnp.ndarray  # [n + W] per-row dequant scale
-    sorted_offset: jnp.ndarray  # [n + W] per-row dequant offset
-    sorted_norms: jnp.ndarray  # [n + W] squared norms of DEQUANTIZED rows
+    centers_rot: jnp.ndarray  # [n_lists, d] rotated centers
+    sorted_codes: jnp.ndarray  # [n + W, ceil(d*bits/32)] uint32 packed levels
+    sorted_fadd: jnp.ndarray  # [n + W] estimator f_add
+    sorted_frescale: jnp.ndarray  # [n + W] estimator f_rescale
     lists: ivf.SortedLists
     metric: DistanceType = flax.struct.field(pytree_node=False, default=DistanceType.L2Expanded)
     window: int = flax.struct.field(pytree_node=False, default=128)
@@ -86,22 +101,61 @@ class Index:
         return self.centers.shape[0]
 
     @property
+    def dim(self):
+        return self.centers.shape[1]
+
+    @property
     def size(self):
         return self.n_rows
 
 
-def _quantize_rows(res: jnp.ndarray, bits: int):
-    """Per-row uniform quantization of rotated residuals.
+@functools.lru_cache(maxsize=None)
+def best_scaling_factor(dim: int, ex_bits: int, n_samples: int = 100, seed: int = 7) -> float:
+    """Calibrate the magnitude scaling factor for ex-bit codes.
 
-    code = round((r - lo) / scale), scale = (hi - lo) / (levels - 1).
-    Returns (codes uint8, scale [n], lo [n]).
+    Mirrors quantizer_gpu.cu:808-905 (best_rescale_factor averaged over
+    random unit vectors): pick t maximizing E[<xu,r̄>/||xu||], the cosine
+    between the quantized grid point and the true unit residual. A dense
+    grid over [t_start, t_end] replaces the reference's exact breakpoint
+    walk — the objective is flat near its peak, so ~512 samples suffice.
     """
-    levels = (1 << bits) - 1
-    lo = jnp.min(res, axis=1)
-    hi = jnp.max(res, axis=1)
-    scale = jnp.maximum(hi - lo, 1e-12) / levels
-    codes = jnp.clip(jnp.round((res - lo[:, None]) / scale[:, None]), 0, levels)
-    return codes.astype(jnp.uint8), scale, lo
+    if ex_bits <= 0:
+        return 0.0
+    rng = np.random.default_rng(seed)
+    o = np.abs(rng.standard_normal((n_samples, dim)))
+    o /= np.linalg.norm(o, axis=1, keepdims=True)
+    max_o = o.max(axis=1)  # [S]
+    t_end = ((1 << ex_bits) - 1 + 10) / max_o
+    t_start = 0.1 * t_end
+    ts = t_start[:, None] + (t_end - t_start)[:, None] * (
+        np.arange(512) / 511.0
+    )[None, :]  # [S, T]
+    code = np.minimum(
+        np.floor(ts[:, :, None] * o[:, None, :] + 1e-5), (1 << ex_bits) - 1
+    )  # [S, T, dim]
+    num = ((code + 0.5) * o[:, None, :]).sum(axis=2)
+    den = np.sqrt(dim * 0.25 + (code * code + code).sum(axis=2))
+    ip = num / den  # [S, T]
+    best_t = ts[np.arange(n_samples), ip.argmax(axis=1)]
+    return float(best_t.mean())
+
+
+def _encode_levels(res: jnp.ndarray, bits: int, scale: float):
+    """Rotated residuals -> levels l in [0, 2^bits) (sign-folded magnitude
+    grid, quantizer_gpu.cu:360-375) and the centred values xu."""
+    ex = bits - 1
+    sign = res >= 0
+    if ex == 0:
+        l = sign.astype(jnp.int32)
+    else:
+        rnorm = jnp.sqrt(jnp.maximum(jnp.sum(res * res, axis=1, keepdims=True), 1e-30))
+        mag = jnp.minimum(
+            jnp.floor(scale * jnp.abs(res) / rnorm + 1e-5).astype(jnp.int32),
+            (1 << ex) - 1,
+        )
+        l = jnp.where(sign, (1 << ex) + mag, (1 << ex) - 1 - mag)
+    xu = l.astype(jnp.float32) - ((1 << bits) - 1) / 2.0
+    return l, xu
 
 
 def build(dataset, params: Optional[IndexParams] = None, **kw) -> Index:
@@ -120,13 +174,21 @@ def build(dataset, params: Optional[IndexParams] = None, **kw) -> Index:
     )
     labels = kmeans_balanced.predict(xf, centers)
     rotation = _make_rotation(key, d, d, True)  # RaBitQ always rotates
-    res = (xf - centers[labels]) @ rotation.T
-    codes, scale, lo = _quantize_rows(res, params.bits_per_dim)
-    # norms of the dequantized reconstruction y = center_rot + deq(codes)
     centers_rot = centers @ rotation.T
-    deq = codes.astype(jnp.float32) * scale[:, None] + lo[:, None]
-    y = centers_rot[labels] + deq
-    norms = jnp.sum(y * y, axis=1)
+    res = (xf - centers[labels]) @ rotation.T
+
+    scale = best_scaling_factor(d, params.bits_per_dim - 1)
+    l, xu = _encode_levels(res, params.bits_per_dim, scale)
+
+    # per-vector estimator factors (quantizer_gpu.cu:272-292 / :410-425)
+    l2_sqr = jnp.sum(res * res, axis=1)
+    denom = jnp.sum(res * xu, axis=1)
+    denom = jnp.where(denom == 0.0, jnp.inf, denom)
+    ip_cent = jnp.sum(centers_rot[labels] * xu, axis=1)
+    fadd = l2_sqr + 2.0 * l2_sqr * ip_cent / denom
+    frescale = -2.0 * l2_sqr / denom
+
+    codes = bitpack.pack(l, params.bits_per_dim)
 
     window = ivf.round_window(int(jnp.max(jnp.zeros((n_lists,), jnp.int32).at[labels].add(1))))
     order, lists = ivf.sort_by_label(labels, n_lists, pad=window)
@@ -135,10 +197,10 @@ def build(dataset, params: Optional[IndexParams] = None, **kw) -> Index:
         centers=centers,
         center_norms=pairwise.row_norms(centers),
         rotation=rotation,
-        sorted_codes=pad1(codes[order]),
-        sorted_scale=pad1(scale[order]),
-        sorted_offset=pad1(lo[order]),
-        sorted_norms=pad1(norms[order]),
+        centers_rot=centers_rot,
+        sorted_codes=pad1(codes[order]).astype(jnp.uint32),
+        sorted_fadd=pad1(fadd[order]),
+        sorted_frescale=pad1(frescale[order]),
         lists=lists,
         metric=params.metric,
         window=window,
@@ -149,12 +211,13 @@ def build(dataset, params: Optional[IndexParams] = None, **kw) -> Index:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "n_probes", "metric", "window", "compute_dtype", "recall_target"),
+    static_argnames=("k", "n_probes", "metric", "window", "compute_dtype",
+                     "recall_target", "bits"),
 )
 def _search_impl(
-    centers, center_norms, rotation, sorted_codes, sorted_scale, sorted_offset,
-    sorted_norms, lists, queries, prefilter, k, n_probes, metric, window,
-    compute_dtype, recall_target,
+    centers, center_norms, rotation, centers_rot, sorted_codes, sorted_fadd,
+    sorted_frescale, lists, queries, prefilter, k, n_probes, metric, window,
+    compute_dtype, recall_target, bits,
 ):
     nq, d = queries.shape
     qf = jnp.asarray(queries, jnp.float32)
@@ -162,7 +225,8 @@ def _search_impl(
     ip = metric == DistanceType.InnerProduct
     qn = jnp.sum(qf * qf, axis=1)
     qrot = qf @ rotation.T
-    qrot_sum = jnp.sum(qrot, axis=1)
+    kb = -((1 << bits) - 1) / 2.0
+    kb_sumq = kb * jnp.sum(qrot, axis=1)  # [nq] (ivf_gpu.cu:1000-1021)
     qc = qrot.astype(compute_dtype)
     qid = jnp.arange(nq, dtype=jnp.int32)
 
@@ -170,26 +234,30 @@ def _search_impl(
         best_v, best_i = carry
         cluster = probe_ids[:, j]
         starts = lists.offsets[cluster]
-        codes_w = ivf.window_gather(sorted_codes, starts, window)  # [nq, W, d]
+        words_w = ivf.window_gather(sorted_codes, starts, window)  # [nq, W, words]
         ids_w = ivf.window_gather(lists.ids, starts, window)
         lab_w = ivf.window_gather(lists.labels, starts, window)
-        norm_w = ivf.window_gather(sorted_norms, starts, window)
-        scale_w = ivf.window_gather(sorted_scale, starts, window)
-        off_w = ivf.window_gather(sorted_offset, starts, window)
+        fadd_w = ivf.window_gather(sorted_fadd, starts, window)
+        fres_w = ivf.window_gather(sorted_frescale, starts, window)
 
+        levels = bitpack.unpack(words_w, bits, d)  # [nq, W, d] int32
         raw = lax.dot_general(
-            qc[:, None, :], codes_w.astype(compute_dtype),
+            qc[:, None, :], levels.astype(compute_dtype),
             (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
             precision=pairwise.matmul_precision(compute_dtype),
-        )[:, 0, :]  # q_rot . codes
-        # q . y = q . center + scale * (q_rot . codes) + off * sum(q_rot)
+        )[:, 0, :]  # <q_rot, l>
+        xu_dot = raw + kb_sumq[:, None]  # <q_rot, xu>
+
         qdotc = jnp.sum(qf * centers[cluster], axis=1)  # [nq]
-        dots = qdotc[:, None] + scale_w * raw + off_w * qrot_sum[:, None]
         if ip:
-            order = -dots
+            # <q, x> = <q,c> + α·<q_rot, xu>, α = ||r||²/<r,xu> = -f_rescale/2
+            est = qdotc[:, None] + (-0.5 * fres_w) * xu_dot
+            order = -est
         else:
-            order = jnp.maximum(qn[:, None] + norm_w - 2.0 * dots, 0.0)
+            g_add = qn + jnp.sum(centers[cluster] * centers[cluster], axis=1) - 2.0 * qdotc
+            est = fadd_w + g_add[:, None] + fres_w * xu_dot
+            order = jnp.maximum(est, 0.0)
 
         valid = lab_w == cluster[:, None]
         mask = filt.passes(prefilter, qid[:, None], ids_w)
@@ -218,8 +286,8 @@ def search(
     prefilter: Optional[filt.Prefilter] = None,
     **kw,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Approximate search over RaBitQ codes; pair with neighbors.refine
-    for exact re-ranking."""
+    """Approximate search via the RaBitQ unbiased estimator; pair with
+    neighbors.refine for exact re-ranking."""
     if params is None:
         params = SearchParams(**kw)
     if prefilter is None:
@@ -229,10 +297,10 @@ def search(
         index.centers,
         index.center_norms,
         index.rotation,
+        index.centers_rot,
         index.sorted_codes,
-        index.sorted_scale,
-        index.sorted_offset,
-        index.sorted_norms,
+        index.sorted_fadd,
+        index.sorted_frescale,
         index.lists,
         queries,
         prefilter,
@@ -242,4 +310,5 @@ def search(
         index.window,
         params.compute_dtype,
         None if params.recall_target is None else float(params.recall_target),
+        int(index.bits_per_dim),
     )

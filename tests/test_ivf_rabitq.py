@@ -1,6 +1,7 @@
 import numpy as np
 import pytest
 
+from cuvs_tpu.core import bitpack
 from cuvs_tpu.neighbors import ivf_rabitq, refine, filters
 from tests.utils import naive_knn, calc_recall, make_blobs
 
@@ -31,12 +32,46 @@ def test_bits_tradeoff():
     assert recalls[8] >= 0.85, recalls
 
 
+def test_one_bit_works():
+    # the classic RaBitQ regime: 1 bit/dim + a large refine pool (the
+    # 1-bit estimator's error is ~1/sqrt(D), so at D=64 the rerank pool
+    # must be deep — same trade-off as the reference)
+    x = make_blobs(RNG, 20000, 64, n_centers=100)
+    q = make_blobs(RNG, 100, 64, n_centers=100)
+    idx = ivf_rabitq.build(x, n_lists=64, bits_per_dim=1, seed=0)
+    _, cand = ivf_rabitq.search(idx, q, 256, n_probes=32)
+    rd, ri = refine.refine(x, q, cand, 10)
+    gtd, gti = naive_knn(q, x, 10)
+    rec = calc_recall(np.asarray(ri), gti)
+    assert rec >= 0.8, rec
+
+
+def test_estimator_unbiased():
+    """The signed error of the RaBitQ L2 estimate must be centred near 0
+    (the whole point of the unbiased estimator — a scalar-quantizer stand-in
+    would have a systematic bias)."""
+    import jax.numpy as jnp
+
+    x = make_blobs(RNG, 4000, 48)
+    q = make_blobs(RNG, 32, 48)
+    idx = ivf_rabitq.build(x, n_lists=1, bits_per_dim=3, kmeans_n_iters=2, seed=0)
+    d_est, i_est = ivf_rabitq.search(idx, q, 200, n_probes=1,
+                                     compute_dtype=jnp.float32)
+    d_est, i_est = np.asarray(d_est), np.asarray(i_est)
+    true = ((q[:, None, :] - x[i_est]) ** 2).sum(-1)
+    rel = (d_est - true) / np.maximum(true, 1e-9)
+    assert abs(rel.mean()) < 0.02, rel.mean()
+
+
 def test_memory_footprint():
     x = make_blobs(RNG, 5000, 64)
-    idx = ivf_rabitq.build(x, n_lists=16, bits_per_dim=3, seed=0)
-    assert idx.sorted_codes.dtype == np.uint8
-    # uint8 storage (bit-packing pending) is already 4x under raw f32
-    assert idx.sorted_codes.nbytes <= x.nbytes // 2
+    for bits in (1, 3, 8, 9):
+        idx = ivf_rabitq.build(x, n_lists=16, bits_per_dim=bits, seed=0)
+        assert idx.sorted_codes.dtype == np.uint32
+        words = bitpack.packed_words(64, bits)
+        assert idx.sorted_codes.shape[1] == words
+        # packed bytes/vector at reference parity: ceil(d*bits/32)*4
+        assert words * 4 <= (64 * bits + 31) // 32 * 4
 
 
 def test_bad_bits():
