@@ -459,8 +459,8 @@ def search(
             qf, index.centers, index.center_norms, n_probes, index.metric,
             params.compute_dtype,
         )
-        mean_occ = nq * n_probes / index.n_lists
-        M = min(nq, max(8, int(-(-mean_occ * 4 // 8)) * 8))
+        # size slots to the ACTUAL max occupancy so no pair is dropped
+        M = min(nq, -(-int(ivf_scan.max_occupancy(probe_ids, index.n_lists)) // 8) * 8)
         budget = 64 * 1024 * 1024 // 4
         chunk = max(1, min(index.n_lists, budget // max(M * index.window, 1)))
         return ivf_scan.cluster_major_scan_pq(

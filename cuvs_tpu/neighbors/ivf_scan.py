@@ -15,8 +15,7 @@ regime), M is large and the scan runs at matmul speed.
 
 Pipeline (all static shapes):
   1. sort pairs by cluster (two-pass stable argsort), slot = rank within
-     cluster, capped at M = ~4x the mean occupancy (overflow pairs are
-     dropped — rare, and only costs that probe for that query);
+     cluster; callers size M via ``max_occupancy`` so no pair is dropped;
   2. lax.map over cluster chunks: dynamic-slice the cluster's rows,
      batched matmul + metric epilogue + validity/filter mask, per-pair
      top-k -> [n_lists, M, k];
@@ -39,6 +38,17 @@ from cuvs_tpu.distance.pairwise import DistanceType
 from cuvs_tpu.neighbors import filters as filt
 from cuvs_tpu.neighbors import ivf_common as ivf
 from cuvs_tpu.selection.select_k import topk
+
+
+@functools.partial(jax.jit, static_argnames=("n_lists",))
+def max_occupancy(probe_ids: jnp.ndarray, n_lists: int) -> jnp.ndarray:
+    """Largest number of (query, probe) pairs landing on one cluster.
+
+    Callers size ``max_per_cluster`` with this so no pair is ever dropped
+    (the reference's query-major scan has no analogous cap; dropping
+    silently would lose recall on skewed probe distributions)."""
+    counts = jnp.zeros((n_lists,), jnp.int32).at[probe_ids.reshape(-1)].add(1)
+    return jnp.max(counts)
 
 
 def group_pairs(probe_ids: jnp.ndarray, n_lists: int, max_per_cluster: int):
