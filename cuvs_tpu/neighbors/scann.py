@@ -177,6 +177,48 @@ def serialize(index: Index, directory: str) -> None:
         "metric": int(index.params.metric),
         "soar_lambda": index.params.soar_lambda,
         "partitioning_eta": index.params.partitioning_eta,
+        "pq_bits": index.params.pq_bits,
+        "seed": index.params.seed,
     }
     with open(os.path.join(directory, "scann_config.json"), "w") as f:
         json.dump(manifest, f, indent=2)
+
+
+def deserialize(directory: str) -> Index:
+    """Read a ScaNN asset directory written by :func:`serialize` back into
+    an :class:`Index` (round-trip verification; the reference's assets are
+    likewise reloadable by CPU ScaNN)."""
+    with open(os.path.join(directory, "scann_config.json")) as f:
+        manifest = json.load(f)
+    if manifest.get("format") != "cuvs_tpu.scann.v1":
+        raise ValueError("not a cuvs_tpu scann asset directory")
+
+    def opt(name):
+        p = os.path.join(directory, name)
+        return np.load(p) if os.path.exists(p) else None
+
+    centers = np.load(os.path.join(directory, "partition_centroids.npy"))
+    labels = np.load(os.path.join(directory, "datapoint_partitions.npy"))
+    soar = opt("soar_partitions.npy")
+    codes = opt("hashed_dataset.npy")
+    books = opt("pq_codebooks.npy")
+    res_bf16 = opt("bf16_dataset.npy")
+    params = IndexParams(
+        n_lists=manifest["n_lists"],
+        metric=DistanceType(manifest["metric"]),
+        partitioning_eta=manifest["partitioning_eta"],
+        soar_lambda=manifest["soar_lambda"],
+        spilling=soar is not None,
+        pq_bits=manifest.get("pq_bits", 8),
+        bf16_residuals=res_bf16 is not None,
+        seed=manifest.get("seed", 0),
+    )
+    return Index(
+        centers=centers,
+        labels=labels,
+        soar_labels=soar,
+        codes=codes,
+        pq_codebooks=books,
+        residuals_bf16=res_bf16,
+        params=params,
+    )

@@ -102,3 +102,98 @@ def search(t: TieredIndex, queries, k: int, prefilter=None,
     if len(parts_d) == 1:
         return parts_d[0], parts_i[0]
     return merge_parts(parts_d, parts_i, k, select_min=select_min)
+
+
+_MODULES = ("cagra", "ivf_flat", "ivf_pq", "ivf_sq", "ivf_rabitq", "brute_force")
+
+
+def _params_to_json(p):
+    """Best-effort JSON encoding of an IndexParams dataclass (enums -> int,
+    dtypes -> name, non-encodable fields dropped)."""
+    import dataclasses as dc
+    import numpy as np
+
+    if p is None or not dc.is_dataclass(p):
+        return None
+    out = {}
+    for f in dc.fields(p):
+        v = getattr(p, f.name)
+        if hasattr(v, "value") and isinstance(getattr(v, "value"), int):
+            v = int(v)
+        elif v is not None and not isinstance(v, (int, float, str, bool)):
+            try:
+                v = np.dtype(v).name
+            except TypeError:
+                continue
+        out[f.name] = v
+    return out
+
+
+def save(path: str, t: TieredIndex) -> None:
+    """Serialize the tiered state: ANN sub-index + hot-tier rows + header
+    (reference serializes the same state machine, tiered_index.cuh:109)."""
+    import json
+    import os
+
+    import numpy as np
+
+    from cuvs_tpu.utils import serialize as ser
+
+    os.makedirs(path, exist_ok=True)
+    header = {
+        "magic": "cuvs_tpu.tiered_index",
+        "version": 1,
+        "module": t.module.__name__.rsplit(".", 1)[-1],
+        "min_ann_rows": int(t.min_ann_rows),
+        "metric": t.metric,
+        "ann_rows": int(t.ann_rows),
+        "has_ann": t.ann_index is not None,
+        "has_bf": t.bf_data is not None and t.bf_data.shape[0] > 0,
+        "ann_params": _params_to_json(t.ann_params),
+    }
+    with open(os.path.join(path, "tiered_header.json"), "w") as f:
+        json.dump(header, f)
+    if header["has_ann"]:
+        ser.save(os.path.join(path, "ann.npz"), t.ann_index)
+    if header["has_bf"]:
+        np.save(os.path.join(path, "bf_data.npy"), np.asarray(t.bf_data))
+
+
+def load(path: str) -> TieredIndex:
+    """Deserialize a tiered index saved by :func:`save`."""
+    import importlib
+    import json
+    import os
+
+    import numpy as np
+
+    from cuvs_tpu.utils import serialize as ser
+
+    with open(os.path.join(path, "tiered_header.json")) as f:
+        header = json.load(f)
+    if header.get("magic") != "cuvs_tpu.tiered_index":
+        raise ValueError("not a cuvs_tpu tiered index directory")
+    if header.get("version", -1) > 1:
+        raise ValueError("tiered index version too new")
+    mod_name = header["module"]
+    if mod_name not in _MODULES:
+        raise ValueError(f"unknown ANN module {mod_name!r}")
+    module = importlib.import_module(f"cuvs_tpu.neighbors.{mod_name}")
+    ann_params = None
+    if header.get("ann_params") is not None and hasattr(module, "IndexParams"):
+        try:
+            ann_params = module.IndexParams(**header["ann_params"])
+        except TypeError:
+            ann_params = None
+    t = TieredIndex(
+        module=module,
+        ann_params=ann_params,
+        min_ann_rows=header["min_ann_rows"],
+        metric=header["metric"],
+        ann_rows=header["ann_rows"],
+    )
+    if header["has_ann"]:
+        t.ann_index = ser.load(os.path.join(path, "ann.npz"))
+    if header["has_bf"]:
+        t.bf_data = jnp.asarray(np.load(os.path.join(path, "bf_data.npy")))
+    return t

@@ -45,7 +45,11 @@ def _arrays_of(index) -> Dict[str, np.ndarray]:
 
 def kind_of(index) -> str:
     mod = type(index).__module__
-    return mod.rsplit(".", 1)[-1]
+    kind = mod.rsplit(".", 1)[-1]
+    cls = type(index).__name__
+    if cls not in ("Index",):  # e.g. cagra.CompressedIndex
+        kind = f"{kind}.{cls}"
+    return kind
 
 
 def save(path: str, index: Any) -> None:
@@ -81,7 +85,9 @@ def _build_ivf_lists(a, prefix):
 
 def _builders():
     from cuvs_tpu.distance.pairwise import DistanceType
-    from cuvs_tpu.neighbors import brute_force, cagra, ivf_flat, ivf_pq
+    from cuvs_tpu.neighbors import (
+        brute_force, cagra, ivf_flat, ivf_pq, ivf_rabitq, ivf_sq,
+    )
 
     def build_bf(a, s):
         return brute_force.Index(
@@ -117,6 +123,8 @@ def _builders():
             window=s["window"],
             n_rows=s["n_rows"],
             pq_bits=s["pq_bits"],
+            codebook_gen=s.get("codebook_gen", "per_subspace"),
+            pq_dim_static=s.get("pq_dim_static", 0),
         )
 
     def build_cagra(a, s):
@@ -127,11 +135,55 @@ def _builders():
             metric=DistanceType(s["metric"]),
         )
 
+    def build_cagra_compressed(a, s):
+        return cagra.CompressedIndex(
+            vq_centers=a[".vq_centers"],
+            vq_codes=a[".vq_codes"],
+            pq_codes=a[".pq_codes"],
+            pq_codebooks=a[".pq_codebooks"],
+            dataset_norms=a[".dataset_norms"],
+            graph=a[".graph"],
+            metric=DistanceType(s["metric"]),
+        )
+
+    def build_ivf_sq(a, s):
+        return ivf_sq.Index(
+            centers=a[".centers"],
+            center_norms=a[".center_norms"],
+            sorted_codes=a[".sorted_codes"],
+            sorted_norms=a[".sorted_norms"],
+            q_min=a[".q_min"],
+            q_max=a[".q_max"],
+            lists=_build_ivf_lists(a, ".lists"),
+            metric=DistanceType(s["metric"]),
+            window=s["window"],
+            n_rows=s["n_rows"],
+        )
+
+    def build_ivf_rabitq(a, s):
+        return ivf_rabitq.Index(
+            centers=a[".centers"],
+            center_norms=a[".center_norms"],
+            rotation=a[".rotation"],
+            centers_rot=a[".centers_rot"],
+            sorted_codes=a[".sorted_codes"],
+            sorted_fadd=a[".sorted_fadd"],
+            sorted_frescale=a[".sorted_frescale"],
+            lists=_build_ivf_lists(a, ".lists"),
+            metric=DistanceType(s["metric"]),
+            window=s["window"],
+            n_rows=s["n_rows"],
+            bits_per_dim=s["bits_per_dim"],
+        )
+
     return {
         "brute_force": build_bf,
         "ivf_flat": build_ivf_flat,
         "ivf_pq": build_ivf_pq,
+        "ivf_sq": build_ivf_sq,
+        "ivf_rabitq": build_ivf_rabitq,
         "cagra": build_cagra,
+        "cagra.CompressedIndex": build_cagra_compressed,
     }
 
 

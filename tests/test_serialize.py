@@ -1,7 +1,9 @@
 import numpy as np
 import pytest
 
-from cuvs_tpu.neighbors import brute_force, cagra, ivf_flat, ivf_pq
+from cuvs_tpu.neighbors import (
+    brute_force, cagra, ivf_flat, ivf_pq, ivf_rabitq, ivf_sq,
+)
 from cuvs_tpu.utils import serialize
 from tests.utils import make_blobs
 
@@ -44,6 +46,68 @@ def test_cagra_roundtrip(tmp_path):
     q = RNG.standard_normal((5, 16)).astype(np.float32)
     idx = cagra.build(x, intermediate_graph_degree=32, graph_degree=16, seed=0)
     _roundtrip(tmp_path, idx, lambda ix, qq: cagra.search(ix, qq, 5, seed=3), q)
+
+
+def test_ivf_sq_roundtrip(tmp_path):
+    x = make_blobs(RNG, 2000, 16)
+    q = make_blobs(RNG, 5, 16)
+    idx = ivf_sq.build(x, n_lists=16, seed=0)
+    _roundtrip(tmp_path, idx, lambda ix, qq: ivf_sq.search(ix, qq, 5, n_probes=8), q)
+
+
+def test_ivf_rabitq_roundtrip(tmp_path):
+    x = make_blobs(RNG, 2000, 32)
+    q = make_blobs(RNG, 5, 32)
+    idx = ivf_rabitq.build(x, n_lists=16, bits_per_dim=4, seed=0)
+    _roundtrip(
+        tmp_path, idx, lambda ix, qq: ivf_rabitq.search(ix, qq, 5, n_probes=8), q
+    )
+
+
+def test_cagra_compressed_roundtrip(tmp_path):
+    x = RNG.standard_normal((1500, 16)).astype(np.float32)
+    q = RNG.standard_normal((4, 16)).astype(np.float32)
+    idx = cagra.compress(
+        cagra.build(x, intermediate_graph_degree=32, graph_degree=16, seed=0),
+        vq_n_centers=16, pq_dim=8,
+    )
+    _roundtrip(tmp_path, idx, lambda ix, qq: cagra.search(ix, qq, 5, seed=3), q)
+
+
+def test_tiered_roundtrip(tmp_path):
+    from cuvs_tpu.neighbors import tiered_index
+
+    x = make_blobs(RNG, 1200, 16)
+    extra = make_blobs(RNG, 60, 16)
+    q = make_blobs(RNG, 5, 16)
+    t = tiered_index.build(
+        ivf_flat, x, ann_params=ivf_flat.IndexParams(n_lists=8, seed=0),
+        min_ann_rows=1000,
+    )
+    t = tiered_index.extend(t, extra)  # leaves a hot BF tier
+    assert t.ann_index is not None and t.bf_data is not None
+    path = str(tmp_path / "tiered")
+    tiered_index.save(path, t)
+    t2 = tiered_index.load(path)
+    d1, i1 = tiered_index.search(t, q, 5, ann_kw=dict(n_probes=8))
+    d2, i2 = tiered_index.search(t2, q, 5, ann_kw=dict(n_probes=8))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    assert t2.min_ann_rows == t.min_ann_rows and t2.ann_rows == t.ann_rows
+
+
+def test_scann_roundtrip(tmp_path):
+    from cuvs_tpu.neighbors import scann
+
+    x = make_blobs(RNG, 600, 16)
+    idx = scann.build(x, n_lists=8, pq_dim=8, partitioning_eta=2.0, seed=0)
+    d = str(tmp_path / "scann_assets")
+    scann.serialize(idx, d)
+    idx2 = scann.deserialize(d)
+    np.testing.assert_array_equal(idx.labels, idx2.labels)
+    np.testing.assert_array_equal(idx.soar_labels, idx2.soar_labels)
+    np.testing.assert_array_equal(idx.codes, idx2.codes)
+    np.testing.assert_allclose(idx.centers, idx2.centers)
+    assert idx2.params.partitioning_eta == idx.params.partitioning_eta
 
 
 def test_bad_magic_rejected(tmp_path):
