@@ -91,12 +91,20 @@ def build(
     mode: str = "sharded",
     mesh: Optional[Mesh] = None,
     index_params=None,
+    distributed_build: str = "auto",
     **kw,
 ) -> MGIndex:
     """Build a multi-chip index.
 
     SHARDED: rows are split contiguously across shards (snmg.cuh:127-166);
-    REPLICATED: every shard holds the full index (:97-126).
+    REPLICATED: every shard holds the full index (:97-126), placed with a
+    replicated sharding so each device owns a physical copy.
+
+    ``distributed_build``: "auto"/"on" builds IVF shards concurrently as
+    ONE pjit program over the mesh (coarse centers trained once on a
+    replicated subsample, per-shard assignment/sort under shard_map) — the
+    analog of the reference's per-rank OpenMP builds (snmg.cuh:111); "off"
+    falls back to the sequential per-shard host loop.
     """
     if mesh is None:
         mesh = default_mesh()
@@ -104,9 +112,17 @@ def build(
     dataset = jnp.asarray(dataset)
     n = dataset.shape[0]
     n_shards = mesh.devices.size
+    axis = mesh.axis_names[0]
 
     if mode == "replicated":
-        index = module.build(dataset, index_params, **kw) if index_params or kw else module.build(dataset)
+        if index_params is not None:
+            index = module.build(dataset, index_params, **kw)
+        else:
+            index = module.build(dataset, **kw)
+        # one physical copy per device (true replicas, not a host-side view)
+        index = jax.tree.map(
+            lambda a: jax.device_put(a, NamedSharding(mesh, P())), index
+        )
         shards = jax.tree.map(lambda a: a[None], index)
         return MGIndex(
             shards=shards,
@@ -124,11 +140,18 @@ def build(
         dataset = jnp.concatenate(
             [dataset, jnp.zeros((pad_rows, dataset.shape[1]), dataset.dtype)], axis=0
         )
+
+    if algo == "ivf_flat" and distributed_build in ("auto", "on"):
+        return _build_ivf_flat_sharded(dataset, n, mesh, axis, index_params, kw)
+
     sub_indexes = []
     offsets = []
     for s in range(n_shards):
         lo, hi = s * block, (s + 1) * block
-        sub = module.build(dataset[lo:hi], index_params, **kw) if index_params or kw else module.build(dataset[lo:hi])
+        if index_params is not None:
+            sub = module.build(dataset[lo:hi], index_params, **kw)
+        else:
+            sub = module.build(dataset[lo:hi], **kw)
         sub_indexes.append(sub)
         offsets.append(lo)
     sub_indexes = _unify_windows(module, sub_indexes)
@@ -142,6 +165,89 @@ def build(
         algo=algo,
         mode="sharded",
         n_rows=n,
+    )
+
+
+def _build_ivf_flat_sharded(dataset, n_rows, mesh, axis, index_params, kw) -> MGIndex:
+    """Concurrent sharded IVF-Flat build as one mesh program.
+
+    Coarse centers are trained ONCE on a subsample and shared by every
+    shard (each shard still owns an independent inverted file over its own
+    rows, so search/merge semantics match the per-rank independent builds
+    of snmg.cuh:127-166). The per-shard assignment + sort runs under
+    shard_map, so all devices build concurrently instead of the host loop's
+    n_shards x latency.
+    """
+    from cuvs_tpu.cluster import kmeans_balanced
+    from cuvs_tpu.distance import pairwise as pw
+    from cuvs_tpu.neighbors import ivf_common as ivf
+    from cuvs_tpu.neighbors.ivf_flat import Index as FlatIndex, _center_norms
+
+    params = index_params or ivf_flat.IndexParams(**kw)
+    n_shards = mesh.devices.size
+    block = dataset.shape[0] // n_shards
+    n_lists = min(params.n_lists, block)
+
+    xs = jax.device_put(dataset, NamedSharding(mesh, P(axis, None)))
+    xf = jnp.asarray(xs, jnp.float32)
+    centers = kmeans_balanced.fit(
+        xf,
+        n_lists,
+        kmeans_balanced.BalancedParams(
+            n_clusters=n_lists,
+            n_iters=params.kmeans_n_iters,
+            trainset_fraction=params.kmeans_trainset_fraction,
+            seed=params.seed,
+        ),
+    )
+    labels = kmeans_balanced.predict(xf, centers)  # [S*B] sharded by rows
+
+    # one host sync: the static scan window = max per-(shard, list) size
+    def occupancy(lab):
+        return jnp.zeros((1, n_lists), jnp.int32).at[0, lab].add(1)
+
+    occ = jax.shard_map(
+        occupancy, mesh=mesh, in_specs=P(axis), out_specs=P(axis, None),
+        check_vma=False,
+    )(labels)
+    window = ivf.round_window(int(jnp.max(occ)))
+
+    def shard_build(x_blk, lab_blk):
+        order, lists = ivf.sort_by_label(lab_blk, n_lists, pad=window)
+        sorted_data = jnp.concatenate(
+            [x_blk[order], jnp.zeros((window, x_blk.shape[1]), x_blk.dtype)], axis=0
+        )
+        sorted_norms = jnp.pad(pw.row_norms(sorted_data[: x_blk.shape[0]]), (0, window))
+        leaves = (sorted_data, sorted_norms) + tuple(lists)
+        return tuple(l[None] for l in leaves)
+
+    out = jax.shard_map(
+        shard_build,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis)),
+        out_specs=tuple([P(axis)] + [P(axis)] * 5),
+        check_vma=False,
+    )(xs, labels)
+    sorted_data, sorted_norms, offsets_l, sizes, labs, ids = out
+
+    cnorms = _center_norms(centers, params.metric)
+    sub = FlatIndex(
+        centers=jnp.broadcast_to(centers[None], (n_shards,) + centers.shape),
+        center_norms=jnp.broadcast_to(cnorms[None], (n_shards,) + cnorms.shape),
+        sorted_data=sorted_data,
+        sorted_norms=sorted_norms,
+        lists=ivf.SortedLists(offsets=offsets_l, sizes=sizes, labels=labs, ids=ids),
+        metric=params.metric,
+        window=window,
+        n_rows=block,
+        adaptive_centers=params.adaptive_centers,
+    )
+    return MGIndex(
+        shards=sub,
+        row_offsets=jnp.arange(n_shards, dtype=jnp.int32) * block,
+        algo="ivf_flat",
+        mode="sharded",
+        n_rows=n_rows,
     )
 
 
@@ -173,15 +279,24 @@ def _local_search(module, index, queries, k, prefilter, search_kw):
     return d, i
 
 
+_rr_counter = [0]  # ROUND_ROBIN batch counter (snmg.cuh:639 atomic counter)
+
+
 def search(
     mg: MGIndex,
     queries,
     k: int,
     mesh: Optional[Mesh] = None,
     prefilter: Optional[filt.Prefilter] = None,
+    routing: str = "load_balancer",
     **search_kw,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Multi-chip search with top-k merge over ICI (snmg.cuh:561-650)."""
+    """Multi-chip search with top-k merge over ICI (snmg.cuh:561-650).
+
+    ``routing`` applies to REPLICATED indexes (common.hpp:948-976):
+    "load_balancer" splits each query batch evenly over devices;
+    "round_robin" sends the whole batch to one device, cycling per call.
+    """
     if mesh is None:
         mesh = default_mesh()
     axis = mesh.axis_names[0]
@@ -190,9 +305,17 @@ def search(
     nq = queries.shape[0]
 
     if mg.mode == "replicated":
-        # shard the query batch over the mesh (LOAD_BALANCER split)
         index = jax.tree.map(lambda a: a[0], mg.shards)
         n_dev = mesh.devices.size
+        if routing == "round_robin":
+            # whole batch to one device per call (snmg.cuh:633-650); the
+            # replica is already resident there, so device_put is local
+            dev = mesh.devices.reshape(-1)[_rr_counter[0] % n_dev]
+            _rr_counter[0] += 1
+            index_local = jax.tree.map(lambda a: jax.device_put(a, dev), index)
+            q_local = jax.device_put(queries, dev)
+            return _local_search(module, index_local, q_local, k, prefilter, search_kw)
+        # LOAD_BALANCER: shard the query batch over the mesh
         pad = (-nq) % n_dev
         qp = jnp.pad(queries, ((0, pad), (0, 0)))
         qs = jax.device_put(qp, NamedSharding(mesh, P(axis, None)))

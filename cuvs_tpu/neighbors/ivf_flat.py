@@ -294,8 +294,15 @@ def search(
 
     nq = queries.shape[0]
     algo = params.scan_algo
+    traced_ctx = isinstance(queries, jax.core.Tracer)
     if algo == "auto":
-        algo = "cluster_major" if nq * n_probes >= 4 * index.n_lists else "query_major"
+        # cluster-major sizes its slot axis with a host-side sync, so it is
+        # unavailable under an outer trace (e.g. mg shard_map)
+        algo = (
+            "cluster_major"
+            if nq * n_probes >= 4 * index.n_lists and not traced_ctx
+            else "query_major"
+        )
     if algo == "cluster_major":
         from cuvs_tpu.neighbors import ivf_scan
 

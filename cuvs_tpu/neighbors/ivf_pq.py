@@ -66,6 +66,7 @@ class IndexParams:
     kmeans_trainset_fraction: float = 0.5
     pq_bits: int = 8
     pq_dim: int = 0  # 0 = auto
+    codebook_gen: str = "per_subspace"  # or "per_cluster" (ivf_pq.hpp:34)
     force_random_rotation: bool = False
     add_data_on_build: bool = True
     max_train_points_per_pq_code: int = 256
@@ -75,6 +76,8 @@ class IndexParams:
         object.__setattr__(self, "metric", normalize_metric(self.metric))
         if not (4 <= self.pq_bits <= 8):
             raise ValueError("pq_bits must be in [4, 8]")
+        if self.codebook_gen not in ("per_subspace", "per_cluster"):
+            raise ValueError("codebook_gen must be per_subspace or per_cluster")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -97,13 +100,16 @@ class Index:
     center_norms: jnp.ndarray  # [n_lists]
     centers_rot: jnp.ndarray  # [n_lists, rot_dim]
     rotation: jnp.ndarray  # [rot_dim, d] (orthonormal columns)
-    pq_centers: jnp.ndarray  # [pq_dim, book, pq_len]
+    pq_centers: jnp.ndarray  # PER_SUBSPACE [pq_dim, book, pq_len];
+    # PER_CLUSTER [n_lists, book, pq_len] (ivf_pq.hpp:34 codebook_gen)
     sorted_codes: jnp.ndarray  # [n + W, ceil(pq_dim*pq_bits/32)] uint32 packed
     lists: ivf.SortedLists
     metric: DistanceType = flax.struct.field(pytree_node=False, default=DistanceType.L2Expanded)
     window: int = flax.struct.field(pytree_node=False, default=128)
     n_rows: int = flax.struct.field(pytree_node=False, default=0)
     pq_bits: int = flax.struct.field(pytree_node=False, default=8)
+    codebook_gen: str = flax.struct.field(pytree_node=False, default="per_subspace")
+    pq_dim_static: int = flax.struct.field(pytree_node=False, default=0)
 
     @property
     def n_lists(self) -> int:
@@ -115,6 +121,8 @@ class Index:
 
     @property
     def pq_dim(self) -> int:
+        if self.codebook_gen == "per_cluster":
+            return self.pq_dim_static
         return self.pq_centers.shape[0]
 
     @property
@@ -176,6 +184,96 @@ def _train_codebooks(key, res_sub, book, n_iters):
     return jax.vmap(em_one)(keys, res_sub)
 
 
+@functools.partial(jax.jit, static_argnames=("book", "n_iters", "train_w", "cluster_chunk"))
+def _train_codebooks_per_cluster(
+    key, sorted_res, offsets, sizes, book, n_iters, train_w, cluster_chunk=64
+):
+    """PER_CLUSTER codebooks (train_per_cluster, ivf_pq_build.cuh:410):
+    one [book, pq_len] codebook per list, trained on ALL subspace vectors
+    of the list's members (up to ``train_w`` rows). Masked EM, vmapped
+    over clusters in chunks.
+
+    sorted_res: [n + pad, pq_dim, pq_len] residual subvectors in list order.
+    Returns [n_lists, book, pq_len].
+    """
+    n_lists = offsets.shape[0]
+    _, pq_dim, pq_len = sorted_res.shape
+    T = train_w * pq_dim  # subvectors per cluster
+
+    def one_cluster(args):
+        cid, start, size = args
+        key_c = jax.random.fold_in(key, cid)
+        rows = lax.dynamic_slice(
+            sorted_res, (start, 0, 0), (train_w, pq_dim, pq_len)
+        )
+        xs = rows.reshape(T, pq_len)
+        size_w = jnp.minimum(size, train_w)
+        valid = (
+            jnp.repeat(jnp.arange(train_w, dtype=jnp.int32), pq_dim) < size_w
+        )
+        idx = jax.random.randint(key_c, (book,), 0, jnp.maximum(size_w, 1) * pq_dim)
+        centers = xs[idx]
+
+        def step(c, _):
+            d = (
+                jnp.sum(xs * xs, 1)[:, None]
+                - 2.0 * xs @ c.T
+                + jnp.sum(c * c, 1)[None, :]
+            )
+            labels = jnp.where(valid, jnp.argmin(d, axis=1), book)
+            sums = jax.ops.segment_sum(xs, labels, num_segments=book + 1)[:book]
+            counts = jax.ops.segment_sum(
+                jnp.ones((T,), jnp.float32), labels, book + 1
+            )[:book]
+            new = sums / jnp.maximum(counts, 1.0)[:, None]
+            return jnp.where(counts[:, None] > 0, new, c), None
+
+        centers, _ = lax.scan(step, centers, None, length=n_iters)
+        return centers
+
+    pad = (-n_lists) % cluster_chunk
+    cids = jnp.arange(n_lists + pad, dtype=jnp.int32)
+    off_p = jnp.pad(offsets, (0, pad))
+    siz_p = jnp.pad(sizes, (0, pad))
+    out = lax.map(
+        lambda a: jax.vmap(one_cluster)(a),
+        (
+            cids.reshape(-1, cluster_chunk),
+            off_p.reshape(-1, cluster_chunk),
+            siz_p.reshape(-1, cluster_chunk),
+        ),
+    )
+    return out.reshape(-1, book, pq_len)[:n_lists]
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _encode_per_cluster(residuals_rot, labels, pq_centers, chunk=65536):
+    """residuals_rot [n, rot_dim], labels [n] -> codes [n, pq_dim] uint8
+    against each row's own cluster codebook."""
+    n = residuals_rot.shape[0]
+    n_lists, book, pq_len = pq_centers.shape
+    pq_dim = residuals_rot.shape[1] // pq_len
+    r = residuals_rot.reshape(n, pq_dim, pq_len)
+    cnorm = jnp.sum(pq_centers * pq_centers, axis=2)  # [n_lists, book]
+
+    pad = (-n) % chunk
+    rp = jnp.pad(r, ((0, pad), (0, 0), (0, 0)))
+    lp = jnp.pad(labels, (0, pad))
+
+    def enc(args):
+        rc, lc = args  # [chunk, pq_dim, pq_len], [chunk]
+        cb = pq_centers[lc]  # [chunk, book, pq_len]
+        dots = jnp.einsum(
+            "nsl,nbl->nsb", rc, cb, preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
+        )
+        d = cnorm[lc][:, None, :] - 2.0 * dots
+        return jnp.argmin(d, axis=2).astype(jnp.uint8)
+
+    codes = lax.map(enc, (rp.reshape(-1, chunk, pq_dim, pq_len), lp.reshape(-1, chunk)))
+    return codes.reshape(-1, pq_dim)[:n]
+
+
 @functools.partial(jax.jit, static_argnames=("chunk",))
 def _encode(residuals_rot, pq_centers, chunk=65536):
     """residuals_rot [n, rot_dim] -> codes [n, pq_dim] uint8."""
@@ -231,16 +329,26 @@ def build(dataset, params: Optional[IndexParams] = None, **kw) -> Index:
     # residuals in rotated space
     res = (xf - centers[labels]) @ rotation.T  # [n, rot_dim]
 
-    # train codebooks on a subsample (max_train_points_per_pq_code * book)
-    n_train = min(n, params.max_train_points_per_pq_code * book)
-    train_idx = jax.random.choice(k_sub, n, (n_train,), replace=False)
-    res_train = res[train_idx].reshape(n_train, pq_dim, pq_len).transpose(1, 0, 2)
-    pq_centers = _train_codebooks(k_book, res_train, book, 25)
-
-    codes = _encode(res, pq_centers)
-
     window = ivf.round_window(int(jnp.max(jnp.zeros((n_lists,), jnp.int32).at[labels].add(1))))
     order, lists = ivf.sort_by_label(labels, n_lists, pad=window)
+
+    if params.codebook_gen == "per_cluster":
+        sorted_res = jnp.concatenate(
+            [res[order], jnp.zeros((window, rot_dim), jnp.float32)], axis=0
+        ).reshape(-1, pq_dim, pq_len)
+        train_w = min(window, max(book, params.max_train_points_per_pq_code * book // max(pq_dim, 1)))
+        pq_centers = _train_codebooks_per_cluster(
+            k_book, sorted_res, lists.offsets, lists.sizes, book, 25, train_w
+        )
+        codes = _encode_per_cluster(res, labels, pq_centers)
+    else:
+        # train codebooks on a subsample (max_train_points_per_pq_code * book)
+        n_train = min(n, params.max_train_points_per_pq_code * book)
+        train_idx = jax.random.choice(k_sub, n, (n_train,), replace=False)
+        res_train = res[train_idx].reshape(n_train, pq_dim, pq_len).transpose(1, 0, 2)
+        pq_centers = _train_codebooks(k_book, res_train, book, 25)
+        codes = _encode(res, pq_centers)
+
     packed = bitpack.pack(codes[order], params.pq_bits)
     sorted_codes = jnp.concatenate(
         [packed, jnp.zeros((window, packed.shape[1]), jnp.uint32)], axis=0
@@ -257,6 +365,8 @@ def build(dataset, params: Optional[IndexParams] = None, **kw) -> Index:
         window=window,
         n_rows=int(n),
         pq_bits=params.pq_bits,
+        codebook_gen=params.codebook_gen,
+        pq_dim_static=int(pq_dim),
     )
 
 
@@ -268,7 +378,10 @@ def extend(index: Index, new_vectors, new_ids=None) -> Index:
         new_ids = jnp.arange(n_old, n_old + n_new, dtype=jnp.int32)
     labels_new = kmeans_balanced.predict(xf, index.centers)
     res = (xf - index.centers[labels_new]) @ index.rotation.T
-    codes_new = _encode(res, index.pq_centers)
+    if index.codebook_gen == "per_cluster":
+        codes_new = _encode_per_cluster(res, labels_new, index.pq_centers)
+    else:
+        codes_new = _encode(res, index.pq_centers)
 
     old_codes = bitpack.unpack(
         index.sorted_codes[:n_old], index.pq_bits, index.pq_dim
@@ -303,13 +416,16 @@ def extend(index: Index, new_vectors, new_ids=None) -> Index:
         window=window,
         n_rows=n,
         pq_bits=index.pq_bits,
+        codebook_gen=index.codebook_gen,
+        pq_dim_static=index.pq_dim_static,
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k", "n_probes", "metric", "window", "lut_dtype", "qchunk", "recall_target", "pq_bits",
+        "k", "n_probes", "metric", "window", "lut_dtype", "qchunk", "recall_target",
+        "pq_bits", "codebook_gen", "pq_dim",
     ),
 )
 def _search_impl(
@@ -324,11 +440,17 @@ def _search_impl(
     qchunk,
     recall_target,
     pq_bits,
+    codebook_gen="per_subspace",
+    pq_dim=0,
 ):
     (centers, center_norms, centers_rot, rotation, pq_centers, sorted_codes, lists) = index_arrays
     nq_all, dim = queries.shape
-    pq_dim, book, pq_len = pq_centers.shape
-    cbook_norms = jnp.sum(pq_centers * pq_centers, axis=2)  # [pq_dim, book]
+    per_cluster = codebook_gen == "per_cluster"
+    if per_cluster:
+        _, book, pq_len = pq_centers.shape
+    else:
+        pq_dim, book, pq_len = pq_centers.shape
+    cbook_norms = jnp.sum(pq_centers * pq_centers, axis=2)  # [pq_dim | n_lists, book]
 
     qf = jnp.asarray(queries, jnp.float32)
     probe_all = ivf.coarse_search(qf, centers, center_norms, n_probes, metric)
@@ -352,11 +474,16 @@ def _search_impl(
         def probe_step(carry, j):
             best_v, best_i = carry
             cluster = probes[:, j]
+            if per_cluster:
+                cb = pq_centers[cluster]  # [nq, book, pq_len]
+                cb_spec, cb_norm = "nbl", cbook_norms[cluster][:, None, :]
+            else:
+                cb, cb_spec, cb_norm = pq_centers, "sbl", cbook_norms[None]
             if ip:
                 # score = q.center + sum_s rot_q_s . c_code  (maximize)
                 base = jnp.sum(q * centers[cluster], axis=1)
                 qdots = jnp.einsum(
-                    "nsl,sbl->nsb", qsub, pq_centers,
+                    f"nsl,{cb_spec}->nsb", qsub, cb,
                     preferred_element_type=jnp.float32,
                     precision=pairwise.matmul_precision(jnp.float32),
                 )
@@ -368,11 +495,11 @@ def _search_impl(
                 # back via base_order for true squared distances
                 res = qsub - centers_rot[cluster].reshape(nq, pq_dim, pq_len)
                 dots = jnp.einsum(
-                    "nsl,sbl->nsb", res, pq_centers,
+                    f"nsl,{cb_spec}->nsb", res, cb,
                     preferred_element_type=jnp.float32,
                     precision=pairwise.matmul_precision(jnp.float32),
                 )
-                lut = cbook_norms[None] - 2.0 * dots  # [nq, pq_dim, book]
+                lut = cb_norm - 2.0 * dots  # [nq, pq_dim, book]
                 base_order = jnp.sum(res * res, axis=(1, 2))
             lut = lut.astype(lut_dtype)
             lut_flat = lut.reshape(nq, pq_dim * book)
@@ -449,8 +576,15 @@ def search(
     n_probes = min(params.n_probes, index.n_lists)
 
     algo = params.scan_algo
+    traced_ctx = isinstance(queries, jax.core.Tracer)
     if algo == "auto":
-        algo = "cluster_major" if nq * n_probes >= 4 * index.n_lists else "query_major"
+        # cluster-major sizes its slot axis with a host-side sync, so it is
+        # unavailable under an outer trace (e.g. mg shard_map)
+        algo = (
+            "cluster_major"
+            if nq * n_probes >= 4 * index.n_lists and not traced_ctx
+            else "query_major"
+        )
     if algo == "cluster_major":
         from cuvs_tpu.neighbors import ivf_scan
 
@@ -481,6 +615,8 @@ def search(
             params.compute_dtype,
             None if params.recall_target is None else float(params.recall_target),
             int(index.pq_bits),
+            index.codebook_gen,
+            int(index.pq_dim),
         )
 
     qchunk = int(min(params.max_internal_batch_size, max(64, nq)))
@@ -505,4 +641,6 @@ def search(
         qchunk,
         None if params.recall_target is None else float(params.recall_target),
         int(index.pq_bits),
+        index.codebook_gen,
+        int(index.pq_dim),
     )

@@ -196,7 +196,7 @@ def cluster_major_scan(
     jax.jit,
     static_argnames=(
         "k", "metric", "window", "max_per_cluster", "cluster_chunk",
-        "compute_dtype", "recall_target", "pq_bits",
+        "compute_dtype", "recall_target", "pq_bits", "codebook_gen", "pq_dim_s",
     ),
 )
 def cluster_major_scan_pq(
@@ -217,6 +217,8 @@ def cluster_major_scan_pq(
     compute_dtype,
     recall_target,
     pq_bits=8,
+    codebook_gen="per_subspace",
+    pq_dim_s=0,
 ):
     """IVF-PQ cluster-major search via decode-and-dot.
 
@@ -233,7 +235,12 @@ def cluster_major_scan_pq(
     n_lists = lists.offsets.shape[0]
     p = probe_ids.shape[1]
     M = max_per_cluster
-    pq_dim, book, pq_len = pq_centers.shape
+    per_cluster = codebook_gen == "per_cluster"
+    if per_cluster:
+        pq_dim = pq_dim_s
+        _, book, pq_len = pq_centers.shape
+    else:
+        pq_dim, book, pq_len = pq_centers.shape
     rot_dim = pq_dim * pq_len
     ip = metric == DistanceType.InnerProduct
 
@@ -258,7 +265,13 @@ def cluster_major_scan_pq(
         codes_w = bitpack.unpack(words_w, pq_bits, pq_dim)  # [C, W, S] int32
 
         # reconstruct in rotated space: y = center_rot + codebook[s, code]
-        recon = pq_centers[sub_ids[None, None, :], codes_w, :]
+        if per_cluster:
+            cb = pq_centers[safe_c]  # [C, book, pq_len] own codebook
+            recon = jax.vmap(lambda b, ix: b[ix])(
+                cb, codes_w.reshape(C, -1)
+            ).reshape(C, window, pq_dim, pq_len)
+        else:
+            recon = pq_centers[sub_ids[None, None, :], codes_w, :]
         y = recon.reshape(C, window, rot_dim) + centers_rot[safe_c][:, None, :]
         yn = jnp.sum(y * y, axis=2)  # [C, W]
         yc = y.astype(compute_dtype)

@@ -50,6 +50,60 @@ def test_recall_with_refine():
     np.testing.assert_allclose(sel, np.maximum(full_d, 0), rtol=1e-3, atol=1e-2)
 
 
+def test_per_cluster_codebooks():
+    """codebook_gen=PER_CLUSTER (ivf_pq.hpp:34, train_per_cluster
+    ivf_pq_build.cuh:410): one codebook per list. On blob data where each
+    list covers one mode, per-cluster codebooks fit residuals at least as
+    well as shared per-subspace ones."""
+    x, q = _data(12000, 32, 60)
+    gtd, gti = naive_knn(q, x, 10)
+    recalls = {}
+    for gen in ("per_subspace", "per_cluster"):
+        idx = ivf_pq.build(x, n_lists=32, pq_dim=16, codebook_gen=gen, seed=0)
+        assert idx.pq_dim == 16
+        d, i = ivf_pq.search(idx, q, 40, n_probes=16)
+        rd, ri = refine.refine(x, q, i, 10)
+        recalls[gen] = calc_recall(np.asarray(ri), gti)
+    assert recalls["per_cluster"] >= 0.9, recalls
+    # both scan layouts agree for per-cluster codebooks
+    idx = ivf_pq.build(x, n_lists=32, pq_dim=16, codebook_gen="per_cluster", seed=0)
+    d1, i1 = ivf_pq.search(idx, q, 10, n_probes=16, scan_algo="query_major")
+    d2, i2 = ivf_pq.search(idx, q, 10, n_probes=16, scan_algo="cluster_major")
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-3, atol=1e-3)
+
+
+def test_per_cluster_extend_and_roundtrip(tmp_path):
+    from cuvs_tpu.utils import serialize
+
+    x, q = _data(6000, 32, 20)
+    idx = ivf_pq.build(x[:5000], n_lists=16, pq_dim=16, codebook_gen="per_cluster", seed=0)
+    idx = ivf_pq.extend(idx, x[5000:])
+    assert idx.size == 6000
+    p = str(tmp_path / "pc.npz")
+    serialize.save(p, idx)
+    idx2 = serialize.load(p)
+    assert idx2.codebook_gen == "per_cluster" and idx2.pq_dim == 16
+    d1, i1 = ivf_pq.search(idx, q, 5, n_probes=8)
+    d2, i2 = ivf_pq.search(idx2, q, 5, n_probes=8)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_lut_dtype_bf16_accuracy():
+    """Exercised lut_dtype knob (ivf_pq.hpp:160 search_params.lut_dtype):
+    a bf16 LUT must stay within a few recall points of f32."""
+    import jax.numpy as jnp
+
+    x, q = _data(10000, 32, 60)
+    gtd, gti = naive_knn(q, x, 10)
+    idx = ivf_pq.build(x, n_lists=32, pq_dim=16, seed=0)
+    recalls = {}
+    for dt in (jnp.float32, jnp.bfloat16):
+        d, i = ivf_pq.search(idx, q, 10, n_probes=16, lut_dtype=dt,
+                             scan_algo="query_major")
+        recalls[dt] = calc_recall(np.asarray(i), gti)
+    assert recalls[jnp.bfloat16] >= recalls[jnp.float32] - 0.05, recalls
+
+
 def test_recall_inner_product():
     x, q = _data()
     idx = ivf_pq.build(x, n_lists=64, pq_dim=32, metric="inner_product", seed=0)

@@ -58,6 +58,40 @@ def test_replicated_search():
     assert calc_recall(np.asarray(i), gti) >= 0.999
 
 
+def test_replicated_round_robin():
+    x = make_blobs(RNG, 4000, 16)
+    q = make_blobs(RNG, 64, 16)
+    idx = mg.build(x, algo="brute_force", mode="replicated")
+    gtd, gti = naive_knn(q, x, 10)
+    from cuvs_tpu.mg import snmg
+
+    seen = set()
+    for _ in range(3):  # consecutive batches land on successive devices
+        before = snmg._rr_counter[0]
+        d, i = mg.search(idx, q, 10, routing="round_robin")
+        assert snmg._rr_counter[0] == before + 1
+        seen.add(before % len(jax.devices()))
+        assert calc_recall(np.asarray(i), gti) >= 0.999
+    assert len(seen) == 3
+
+
+def test_ivf_flat_distributed_build_matches_loop_build():
+    n = 8000
+    x = make_blobs(RNG, n, 16)
+    q = make_blobs(RNG, 48, 16)
+    fast = mg.build(x, algo="ivf_flat", mode="sharded", n_lists=16, seed=0)
+    slow = mg.build(
+        x, algo="ivf_flat", mode="sharded", distributed_build="off",
+        n_lists=16, seed=0,
+    )
+    df, i_f = mg.search(fast, q, 10, n_probes=16)
+    ds, i_s = mg.search(slow, q, 10, n_probes=16)
+    gtd, gti = naive_knn(q, x, 10)
+    # both are exact at n_probes = n_lists
+    assert calc_recall(np.asarray(i_f), gti, np.asarray(df), gtd) >= 0.999
+    assert calc_recall(np.asarray(i_s), gti, np.asarray(ds), gtd) >= 0.999
+
+
 def test_sharded_prefilter():
     x = make_blobs(RNG, 3000, 16)
     q = make_blobs(RNG, 16, 16)
