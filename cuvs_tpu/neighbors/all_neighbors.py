@@ -11,6 +11,7 @@ device memory to ~(overlap_factor/n_clusters) * n_rows rows at once.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional, Tuple
 
 import jax.numpy as jnp
@@ -72,42 +73,97 @@ def build(
                                        if k_ in AllNeighborsParams.__dataclass_fields__})
         kw = {k_: v for k_, v in kw.items()
               if k_ not in AllNeighborsParams.__dataclass_fields__}
-    dataset = np.asarray(dataset, np.float32)
+    # keep the dataset device-resident: only per-cluster index vectors and
+    # per-cluster results cross the host boundary
+    dataset = jnp.asarray(dataset)
+    if dataset.dtype not in (jnp.float32, jnp.bfloat16, jnp.float16):
+        dataset = dataset.astype(jnp.float32)
     n = dataset.shape[0]
     if params.n_clusters <= 1:
-        g, d = _single(dataset, k, params, **kw)
+        g, d = _single(np.asarray(dataset, np.float32), k, params, **kw)
         return jnp.asarray(g), jnp.asarray(d)
 
-    # batched: balanced cluster, assign each row to overlap_factor clusters
+    # batched: balanced cluster, assign each row to overlap_factor clusters.
+    # Clusters are PADDED to one uniform size so every per-cluster exact
+    # self-search reuses a single compiled program (shape churn would
+    # otherwise recompile per cluster) and each [M, d] x [M, d] block runs
+    # as full MXU matmuls — this is what makes partitioned exact builds
+    # beat gather-bound nn_descent on TPU.
     c = params.n_clusters
-    centers = kmeans_balanced.fit(dataset, c, seed=params.seed)
-    from cuvs_tpu.distance.pairwise import pairwise_distance
+    xf = dataset.astype(jnp.float32)
+    centers = kmeans_balanced.fit(xf, c, seed=params.seed)
+    # overlap_factor nearest clusters per row, selected on device (only the
+    # small [n, o] assignment crosses to host for the grouping)
+    import jax
+    from jax import lax
 
-    d2c = np.asarray(pairwise_distance(dataset, np.asarray(centers)))
-    assign = np.argsort(d2c, axis=1)[:, : params.overlap_factor]  # [n, o]
+    @jax.jit
+    def _assign(xf, centers):
+        d2c = (
+            jnp.sum(centers * centers, 1)[None, :]
+            - 2.0 * xf @ centers.T
+        )
+        _, top = lax.top_k(-d2c, params.overlap_factor)
+        return top
 
-    best_d = np.full((n, k), np.inf, np.float32)
-    best_i = np.zeros((n, k), np.int64)
+    assign = np.asarray(_assign(xf, centers))  # [n, o]
+
+    member_lists = [
+        np.where((assign == ci).any(axis=1))[0] for ci in range(c)
+    ]
+    M = max(len(m) for m in member_lists)
+    M = -(-M // 128) * 128  # lane-aligned uniform cluster size
+
+    from cuvs_tpu.neighbors import brute_force as bf
+
+    @jax.jit
+    def _gather_rows(ds, idx):
+        return ds[idx]
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1), static_argnames=("k_out",))
+    def _merge(best_d, best_i, padded, sub_d, sub_l, n_real, k_out):
+        g = padded[sub_l]  # local -> global ids [M, kk]
+        d = jnp.where(g == padded[:, None], jnp.inf, sub_d)  # drop self
+        md = jnp.concatenate([best_d[padded], d], axis=1)
+        mi = jnp.concatenate([best_i[padded], g], axis=1)
+        # dedup (same neighbor found via two overlapping clusters / pad
+        # duplicates): sort by id, inf out repeats, re-sort by distance
+        o1 = jnp.argsort(mi, axis=1)
+        mi_s = jnp.take_along_axis(mi, o1, axis=1)
+        md_s = jnp.take_along_axis(md, o1, axis=1)
+        dup = jnp.concatenate(
+            [jnp.zeros((mi.shape[0], 1), bool), mi_s[:, 1:] == mi_s[:, :-1]], axis=1
+        )
+        md_s = jnp.where(dup, jnp.inf, md_s)
+        sv, si = jax.lax.sort((md_s, mi_s), dimension=1, num_keys=1)
+        rows = jnp.arange(padded.shape[0], dtype=jnp.int32)
+        target = jnp.where(rows < n_real, padded, best_d.shape[0])  # pads drop
+        best_d = best_d.at[target].set(sv[:, :k_out], mode="drop")
+        best_i = best_i.at[target].set(si[:, :k_out], mode="drop")
+        return best_d, best_i
+
+    best_d = jnp.full((n, k), jnp.inf, jnp.float32)
+    best_i = jnp.zeros((n, k), jnp.int32)
+    compute_dtype = kw.pop("compute_dtype", jnp.float32)
+    recall_target = kw.pop("recall_target", None)
     for ci in range(c):
-        members = np.where((assign == ci).any(axis=1))[0]
+        members = member_lists[ci]
         if len(members) <= k:
             continue
-        sub_g, sub_d = _single(dataset[members], min(k, len(members) - 1), params, **kw)
-        sub_g = members[np.asarray(sub_g)]  # local -> global ids
-        sub_d = np.asarray(sub_d)
-        kk = sub_g.shape[1]
-        # merge into global per-row lists
-        md = np.concatenate([best_d[members], sub_d], axis=1)
-        mi = np.concatenate([best_i[members], sub_g], axis=1)
-        # dedup (same neighbor found in two overlapping clusters)
-        order = np.argsort(mi, axis=1, kind="stable")
-        mi_s = np.take_along_axis(mi, order, axis=1)
-        md_s = np.take_along_axis(md, order, axis=1)
-        dup = np.concatenate(
-            [np.zeros((len(members), 1), bool), mi_s[:, 1:] == mi_s[:, :-1]], axis=1
+        n_real = len(members)
+        padded = jnp.asarray(
+            np.concatenate(
+                [members, np.full(M - n_real, members[0], members.dtype)]
+            ).astype(np.int32)
         )
-        md_s[dup] = np.inf
-        keep = np.argsort(md_s, axis=1)[:, :k]
-        best_d[members] = np.take_along_axis(md_s, keep, axis=1)
-        best_i[members] = np.take_along_axis(mi_s, keep, axis=1)
-    return jnp.asarray(best_i), jnp.asarray(best_d)
+        sub = _gather_rows(dataset, padded)  # device-side gather
+        index = bf.build(sub, metric=params.metric)
+        sub_d, sub_l = bf.search(
+            index, sub, min(k + 1, M), compute_dtype=compute_dtype,
+            recall_target=recall_target,
+        )
+        best_d, best_i = _merge(
+            best_d, best_i, padded, sub_d, jnp.asarray(sub_l, jnp.int32),
+            jnp.int32(n_real), k,
+        )
+    return best_i, best_d

@@ -58,6 +58,8 @@ class IndexParams:
     nn_descent_params: object = None  # override the nn_descent build config
     storage_dtype: object = None  # store the dataset as e.g. bfloat16
     # (halves beam-search HBM gather traffic; norms stay f32)
+    guarantee_connectivity: bool = False  # MST-style augmentation
+    # (graph_core.cuh:487-644) so every node is reachable
 
     def __post_init__(self):
         object.__setattr__(self, "metric", normalize_metric(self.metric))
@@ -173,7 +175,11 @@ def build(dataset, params: Optional[IndexParams] = None, **kw) -> Index:
         recall_target=params.build_recall_target,
         nn_descent_params=params.nn_descent_params,
     )
-    graph = graph_core.optimize(neighbors, gdeg)
+    graph = graph_core.optimize(
+        neighbors, gdeg,
+        guarantee_connectivity=params.guarantee_connectivity,
+        dataset=dataset if params.guarantee_connectivity else None,
+    )
     return from_graph(dataset, graph, metric=params.metric,
                       storage_dtype=params.storage_dtype)
 
@@ -268,9 +274,12 @@ def _search_chunk(
     earlier = jnp.tril(jnp.ones((n_seeds, n_seeds), bool), k=-1)
     s_dup = jnp.any(jnp.logical_and(eq, earlier[None]), axis=2)
     seed_d = jnp.where(s_dup, jnp.inf, seed_d)
-    sv, si = lax.top_k(-seed_d, L)
-    state_v = -sv  # [B, L] ascending? top_k returns descending of -d => ascending d
-    state_id = jnp.take_along_axis(seeds, si, axis=1)  # unexplored (flag clear)
+    # the itopk state stays SORTED ascending by distance throughout; merges
+    # are key+payload sorts (TPU sorts 128-wide rows ~10x faster than the
+    # unaligned lax.top_k lowering)
+    sv, sid = lax.sort((seed_d, seeds), dimension=1, num_keys=1)
+    state_v = sv[:, :L]
+    state_id = sid[:, :L]  # unexplored (flag clear)
 
     def cond(st):
         state_v, state_id, it = st
@@ -283,17 +292,22 @@ def _search_chunk(
     def body(st):
         state_v, state_id, it = st
         raw_id = state_id & (EXPLORED - 1)
-        unexplored = jnp.logical_and(state_id >= 0, (state_id & EXPLORED) == 0)
-        # pick search_width best unexplored parents
-        pick_order = jnp.where(unexplored, state_v, jnp.inf)
-        _, psel = lax.top_k(-pick_order, search_width)  # positions in itopk
-        parent_ids = jnp.take_along_axis(raw_id, psel, axis=1)  # [B, W]
-        parent_valid = jnp.isfinite(jnp.take_along_axis(pick_order, psel, axis=1))
+        unexplored = jnp.logical_and(
+            jnp.logical_and(state_id >= 0, (state_id & EXPLORED) == 0),
+            jnp.isfinite(state_v),
+        )
+        # pick the search_width best unexplored parents: the state is
+        # sorted, so they are the first W unexplored slots (cumsum rank
+        # instead of a top_k pass)
+        rank = jnp.cumsum(unexplored.astype(jnp.int32), axis=1)  # [B, L]
+        sel = jnp.logical_and(unexplored, rank <= search_width)
+        slot = jnp.where(sel, rank - 1, search_width)  # W = dropped
+        parent_ids = jnp.full((B, search_width + 1), -1, jnp.int32).at[
+            jnp.arange(B)[:, None], slot
+        ].set(jnp.where(sel, raw_id, -1), mode="drop")[:, :search_width]
+        parent_valid = parent_ids >= 0
         # mark explored
-        flags = jnp.zeros_like(state_id).at[
-            jnp.arange(B)[:, None], psel
-        ].set(jnp.where(parent_valid, EXPLORED, 0))
-        state_id = state_id | flags
+        state_id = jnp.where(sel, state_id | EXPLORED, state_id)
 
         # gather children
         children = graph[jnp.where(parent_valid, parent_ids, 0)].reshape(B, C)
@@ -313,11 +327,11 @@ def _search_chunk(
         )
         cand_d = jnp.where(invalid, jnp.inf, cand_d)
 
-        # merge candidates into itopk
+        # merge candidates into the sorted itopk: one key+payload sort
         mv = jnp.concatenate([state_v, cand_d], axis=1)
         mid = jnp.concatenate([state_id, children], axis=1)
-        tv, ti = lax.top_k(-mv, L)
-        return (-tv, jnp.take_along_axis(mid, ti, axis=1), it + 1)
+        sv2, sid2 = lax.sort((mv, mid), dimension=1, num_keys=1)
+        return (sv2[:, :L], sid2[:, :L], it + 1)
 
     state_v, state_id, _ = lax.while_loop(cond, body, (state_v, state_id, jnp.int32(0)))
 
@@ -327,9 +341,14 @@ def _search_chunk(
     if mask is not None:
         out_v = jnp.where(mask, out_v, jnp.inf)
     out_v = jnp.where(state_id >= 0, out_v, jnp.inf)
-    tv, ti = lax.top_k(-out_v, k)
-    out_ids = jnp.take_along_axis(raw_id, ti, axis=1)
-    out_d = -tv
+    if mask is None:
+        # state is already sorted; masking only re-sorts when a filter ran
+        out_ids = raw_id[:, :k]
+        out_d = out_v[:, :k]
+    else:
+        fv, fid = lax.sort((out_v, raw_id), dimension=1, num_keys=1)
+        out_ids = fid[:, :k]
+        out_d = fv[:, :k]
     if metric == DistanceType.InnerProduct:
         out_d = -out_d
     if metric == DistanceType.L2SqrtExpanded:
@@ -388,12 +407,44 @@ def search(
     return jnp.concatenate(outs_d, axis=0), jnp.concatenate(outs_i, axis=0)
 
 
+@functools.partial(jax.jit, static_argnames=("max_ins",))
+def _rank_insert_reverse(graph, dataset_f32, rows, ins_ids, ins_valid, max_ins):
+    """Rank-based reverse-edge insertion (add_nodes.cuh:24-96 semantics).
+
+    For each affected row t (gathered uniquely into ``rows`` with up to
+    ``max_ins`` candidate inserts): recompute the distances of t's current
+    edges and the candidates, sort the combined list by distance, keep the
+    best ``degree`` — a new node displaces existing edges only when it
+    truly ranks above them, instead of unconditionally evicting the last
+    slot.
+    """
+    deg = graph.shape[1]
+    tvec = dataset_f32[rows]  # [R, d]
+    cur = graph[rows]  # [R, deg]
+    cand = jnp.concatenate([cur, jnp.where(ins_valid, ins_ids, 0)], axis=1)
+    cvec = dataset_f32[cand]  # [R, deg+max_ins, d]
+    d2 = jnp.sum((cvec - tvec[:, None, :]) ** 2, axis=2)
+    # invalid inserts and duplicate candidates rank last
+    valid = jnp.concatenate(
+        [jnp.ones(cur.shape, bool), ins_valid], axis=1
+    )
+    earlier = jnp.tril(jnp.ones((cand.shape[1], cand.shape[1]), bool), k=-1)
+    dup = jnp.any(
+        jnp.logical_and(cand[:, :, None] == cand[:, None, :], earlier[None]), axis=2
+    )
+    d2 = jnp.where(jnp.logical_and(valid, ~dup), d2, jnp.inf)
+    order = jnp.argsort(d2, axis=1)[:, :deg]
+    return jnp.take_along_axis(cand, order, axis=1)
+
+
 def extend(index: Index, new_vectors, params: Optional[SearchParams] = None) -> Index:
     """Incremental insert (add_nodes.cuh:24 semantics).
 
     For each new node: CAGRA-search 2*degree neighbors, take the best
-    ``degree`` as forward edges, then insert reverse edges into existing
-    rows by replacing those rows' worst-rank slots.
+    ``degree`` as forward edges, then insert the node as a reverse edge
+    into its nearest targets by DISTANCE RANK against those rows' existing
+    edges (rank-based insertion, add_nodes.cuh:60-96) — repeated extends
+    keep edge quality instead of eroding the tail slots.
     """
     new_vectors = jnp.asarray(new_vectors, index.dataset.dtype)
     deg = index.graph_degree
@@ -404,20 +455,45 @@ def extend(index: Index, new_vectors, params: Optional[SearchParams] = None) -> 
     fwd = nbrs[:, :deg].astype(jnp.int32)
     n_new = new_vectors.shape[0]
     new_ids = jnp.arange(n_old, n_old + n_new, dtype=jnp.int32)
-
-    # reverse edges: each new node u inserts itself into its best rev_per
-    # forward targets, replacing the last slot (lowest-priority edge).
-    rev_per = max(1, deg // 8)
-    targets = fwd[:, :rev_per]  # [n_new, rev_per]
-    graph_old = index.graph
-    # shift each target row left by one (drop worst edge), append new id
-    rows = targets.reshape(-1)
-    upd = jnp.concatenate(
-        [graph_old[rows][:, : deg - 1], jnp.repeat(new_ids, rev_per)[:, None]], axis=1
-    )
-    graph_old = graph_old.at[rows].set(upd)
-
     dataset = jnp.concatenate([index.dataset, new_vectors], axis=0)
+
+    # reverse edges: each new node offers itself to ALL its forward
+    # targets; offers are grouped per target row and inserted by distance
+    # rank in one batched pass — an offer worse than every existing edge
+    # is rejected by the rank sort itself (add_nodes.cuh:60-96).
+    rev_per = deg
+    pairs_t = fwd[:, :rev_per].reshape(-1)  # target rows
+    pairs_u = jnp.repeat(new_ids, rev_per)  # inserted ids
+    rows, inv = jnp.unique(pairs_t, return_inverse=True, size=pairs_t.shape[0],
+                           fill_value=-1)
+    # slot each offer within its target row (stable two-pass grouping)
+    order = jnp.argsort(inv, stable=True)
+    inv_s = inv[order]
+    first = jnp.concatenate([jnp.array([True]), inv_s[1:] != inv_s[:-1]])
+    idx = jnp.arange(inv_s.shape[0], dtype=jnp.int32)
+    group_start = lax.associative_scan(jnp.maximum, jnp.where(first, idx, 0))
+    slot = idx - group_start
+    max_ins = min(8, int(jnp.max(slot)) + 1)
+    keep = slot < max_ins
+    R = rows.shape[0]
+    ins_ids = jnp.zeros((R, max_ins), jnp.int32).at[
+        jnp.where(keep, inv_s, R), jnp.where(keep, slot, 0)
+    ].set(pairs_u[order], mode="drop")
+    ins_valid = jnp.zeros((R, max_ins), bool).at[
+        jnp.where(keep, inv_s, R), jnp.where(keep, slot, 0)
+    ].set(keep, mode="drop")
+    ins_valid = jnp.logical_and(ins_valid, (rows >= 0)[:, None])
+
+    safe_rows = jnp.maximum(rows, 0)
+    graph_old = index.graph
+    upd = _rank_insert_reverse(
+        graph_old, jnp.asarray(dataset, jnp.float32), safe_rows, ins_ids,
+        ins_valid, max_ins,
+    )
+    graph_old = graph_old.at[jnp.where(rows >= 0, rows, graph_old.shape[0])].set(
+        upd, mode="drop"
+    )
+
     graph = jnp.concatenate([graph_old, fwd], axis=0)
     return from_graph(dataset, graph, metric=index.metric)
 

@@ -143,11 +143,16 @@ def optimize(
     knn_graph: jnp.ndarray,
     out_degree: int,
     detour_chunk: int = 1024,
+    guarantee_connectivity: bool = False,
+    dataset=None,
 ) -> jnp.ndarray:
     """CAGRA graph optimization (graph::optimize, cagra_build.cuh:1929).
 
     knn_graph: [n, K] neighbor ids sorted by distance (K = intermediate
     degree). Returns the pruned fixed-degree graph [n, out_degree].
+    ``guarantee_connectivity`` runs the MST-style augmentation afterwards
+    (graph_core.cuh:487-644); ``dataset`` lets it pick the shortest
+    cross-component bridges instead of arbitrary ones.
     """
     knn_graph = jnp.asarray(knn_graph, jnp.int32)
     n, K = knn_graph.shape
@@ -156,4 +161,105 @@ def optimize(
     counts = _detour_counts(knn_graph, chunk=min(detour_chunk, max(8, n)))
     fwd = _prune_by_detour(knn_graph, counts, out_degree)
     rev, rev_valid = _reverse_graph(fwd, out_degree)
-    return _merge_fwd_rev(fwd, rev, rev_valid, out_degree)
+    graph = _merge_fwd_rev(fwd, rev, rev_valid, out_degree)
+    if guarantee_connectivity:
+        graph = augment_connectivity(graph, dataset=dataset)
+    return graph
+
+
+@jax.jit
+def connected_components(graph: jnp.ndarray) -> jnp.ndarray:
+    """Component label per node of the UNDIRECTED view of ``graph``.
+
+    Min-label propagation (pointer-jumping flavored): each step every node
+    takes the min label over itself, its out-neighbors, and its in-edges
+    (via scatter-min), then labels are path-compressed. Converges in
+    O(log n) steps for graph diameter reduction; we run until fixpoint via
+    a while_loop on "any label changed".
+    """
+    n, D = graph.shape
+    init = jnp.arange(n, dtype=jnp.int32)
+
+    def body(lab):
+        nbr_min = jnp.min(lab[graph], axis=1)  # over out-edges
+        new = jnp.minimum(lab, nbr_min)
+        # in-edges: scatter-min of each node's label into its targets
+        new = new.at[graph.reshape(-1)].min(jnp.repeat(lab, D))
+        # path compression: follow labels one hop
+        return jnp.minimum(new, new[new])
+
+    def cond(state):
+        lab, prev, it = state
+        return jnp.logical_and(jnp.any(lab != prev), it < n)
+
+    def step(state):
+        lab, _, it = state
+        return body(lab), lab, it + 1
+
+    lab, _, _ = lax.while_loop(cond, step, (body(init), init, jnp.int32(0)))
+    return lab
+
+
+def augment_connectivity(graph: jnp.ndarray, dataset=None, max_rounds: int = 64) -> jnp.ndarray:
+    """Ensure the graph is connected (cagra guarantee_connectivity,
+    graph_core.cuh:487-644: MST over cross-component candidate edges).
+
+    Each round: label components; every non-root component picks ONE
+    bridge edge to a node outside itself (its shortest when ``dataset``
+    distances are available, else its lowest-id candidate) and the bridge
+    replaces the source row's last (worst-rank) slot. Rounds halve the
+    component count at least (every component merges with another), so
+    convergence takes O(log #components) rounds.
+    """
+    graph = jnp.asarray(graph, jnp.int32)
+    n, D = graph.shape
+    if dataset is not None:
+        xf = jnp.asarray(dataset, jnp.float32)
+
+    for _ in range(max_rounds):
+        lab = connected_components(graph)
+        n_comp = int(jnp.unique(lab).shape[0])
+        if n_comp <= 1:
+            break
+        # candidate bridge for every node: nearest node of another component
+        # among a strided sample (keeps it O(n * sample), not O(n^2))
+        import numpy as np
+
+        lab_h = np.asarray(lab)
+        comp_ids, comp_index = np.unique(lab_h, return_inverse=True)
+        # representative member per component (first occurrence)
+        first = np.zeros(len(comp_ids), np.int64)
+        seen = np.full(len(comp_ids), False)
+        for i, c in enumerate(comp_index):
+            if not seen[c]:
+                seen[c] = True
+                first[c] = i
+        # connect every component to the largest one via its best bridge
+        sizes = np.bincount(comp_index)
+        root = int(np.argmax(sizes))
+        graph_h = np.array(graph)  # writable host copy
+        for c in range(len(comp_ids)):
+            if c == root:
+                continue
+            members = np.where(comp_index == c)[0]
+            others = np.where(comp_index == root)[0]
+            # sample to bound cost
+            ms = members[:: max(1, len(members) // 128)][:128]
+            os_ = others[:: max(1, len(others) // 1024)][:1024]
+            if dataset is not None:
+                xm = np.asarray(xf[ms])
+                xo = np.asarray(xf[os_])
+                d2 = (
+                    (xm * xm).sum(1)[:, None]
+                    + (xo * xo).sum(1)[None, :]
+                    - 2.0 * xm @ xo.T
+                )
+                mi, oi = np.unravel_index(np.argmin(d2), d2.shape)
+                src, dst = int(ms[mi]), int(os_[oi])
+            else:
+                src, dst = int(ms[0]), int(os_[0])
+            # bridge replaces the worst-rank slot, both directions
+            graph_h[src, D - 1] = dst
+            graph_h[dst, D - 1] = src
+        graph = jnp.asarray(graph_h)
+    return graph

@@ -66,7 +66,26 @@ def build_knn_graph(
     n, d = dataset.shape
     metric = normalize_metric(metric)
     if algo == "auto":
-        algo = "brute_force" if n <= 150_000 else "nn_descent"
+        # exact below 150k; partitioned exact above (cluster + halo blocks
+        # of full MXU matmuls — far better HBM reuse than the gather-bound
+        # nn_descent local join, so it is both faster AND exact-per-block)
+        algo = "brute_force" if n <= 150_000 else "partitioned"
+
+    if algo == "partitioned":
+        from cuvs_tpu.neighbors import all_neighbors
+
+        overlap = 2
+        target_rows = 32_768  # padded per-cluster block size
+        n_clusters = max(overlap + 1, -(-n * overlap // target_rows))
+        return all_neighbors.build(
+            dataset, k,
+            all_neighbors.AllNeighborsParams(
+                algo="brute_force", n_clusters=n_clusters,
+                overlap_factor=overlap, metric=metric, seed=seed,
+            ),
+            compute_dtype=compute_dtype if compute_dtype is not None else jnp.float32,
+            recall_target=recall_target,
+        )
 
     if algo == "brute_force":
         import jax.numpy as _jnp

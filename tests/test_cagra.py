@@ -118,6 +118,50 @@ def test_extend():
     assert (np.asarray(i2).ravel() == np.arange(4500, 4510)).mean() >= 0.8
 
 
+def test_extend_many_rounds_no_degradation():
+    """10 extend rounds keep recall within a few % of a full rebuild
+    (rank-based reverse insertion, add_nodes.cuh:24-96; the old
+    replace-worst-slot heuristic erodes the graph here)."""
+    x, q = _data(6000, 16, 40)
+    idx = cagra.build(x[:3000], intermediate_graph_degree=48, graph_degree=24, seed=0)
+    for r in range(10):
+        idx = cagra.extend(idx, x[3000 + r * 300 : 3000 + (r + 1) * 300])
+    assert idx.size == 6000
+    rebuilt = cagra.build(x, intermediate_graph_degree=48, graph_degree=24, seed=0)
+    gtd, gti = naive_knn(q, x, 10)
+    _, i_ext = cagra.search(idx, q, 10, itopk_size=96)
+    _, i_reb = cagra.search(rebuilt, q, 10, itopk_size=96)
+    r_ext = calc_recall(np.asarray(i_ext), gti)
+    r_reb = calc_recall(np.asarray(i_reb), gti)
+    assert r_ext >= r_reb - 0.02, (r_ext, r_reb)
+
+
+def test_guarantee_connectivity():
+    """Adversarial islands: well-separated blobs produce a disconnected
+    pruned graph; the MST-style augmentation must reconnect it
+    (graph_core.cuh:487-644)."""
+    blobs = []
+    for c in range(4):
+        center = np.zeros(16, np.float32)
+        center[c] = 200.0
+        blobs.append(center + RNG.standard_normal((500, 16)).astype(np.float32))
+    x = np.concatenate(blobs)
+    idx_off = cagra.build(x, intermediate_graph_degree=32, graph_degree=16, seed=0)
+    lab_off = np.asarray(graph_core.connected_components(idx_off.graph))
+    assert len(np.unique(lab_off)) > 1, "expected a disconnected baseline graph"
+    idx_on = cagra.build(
+        x, intermediate_graph_degree=32, graph_degree=16, seed=0,
+        guarantee_connectivity=True,
+    )
+    lab_on = np.asarray(graph_core.connected_components(idx_on.graph))
+    assert len(np.unique(lab_on)) == 1
+    # cross-island queries now reachable from any seed
+    q = x[::100] + 0.01
+    _, i = cagra.search(idx_on, q, 1, itopk_size=64)
+    hit = (np.asarray(i).ravel() == np.arange(0, 2000, 100)).mean()
+    assert hit >= 0.9, hit
+
+
 def test_ace_build(tmp_path):
     x, q = _data(6000, 16, 30)
     idx = cagra.build_ace(
