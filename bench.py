@@ -1,13 +1,17 @@
-"""Benchmark: best QPS at recall@10 >= 0.95 on SIFT-shaped data (single chip).
+"""Benchmark: best QPS at recall@10 >= 0.95 on SIFT-shape data (single chip).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Methodology mirrors cuvs_bench (/root/reference/cpp/bench/ann/src/common/
 benchmark.hpp:337-413): QPS = queries/sec over the search loop (compile
-excluded), recall vs exact brute-force ground truth computed on-device.
-Two contenders are measured and the best recall-qualified QPS wins:
+excluded), recall vs exact brute-force ground truth computed on-device
+over the FULL query batch. Contenders (best recall-qualified QPS wins):
   * brute-force exact/approx at peak MXU FLOPs (TPU-KNN design)
-  * CAGRA graph search
+  * CAGRA graph search over a partitioned-exact-built graph
+Dataset: $BENCH_DATASET from the cuvs_bench-parity registry
+(cuvs_tpu/bench/datasets.py). Real .fbin files load from
+$CUVS_TPU_DATASET_DIR; otherwise a seeded low-intrinsic-dim synthetic
+stand-in with the same shape is used and labeled as such.
 ``vs_baseline`` is measured QPS divided by an assumed cuVS-on-H100
 SIFT-class figure (~600k QPS @ recall 0.95; the reference repo publishes
 no absolute numbers — BASELINE.json "published": {}).
@@ -25,12 +29,11 @@ import numpy as np
 H100_BASELINE_QPS = 600_000.0
 
 DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", 1500))
-N = int(os.environ.get("BENCH_N", 1_000_000))
-DIM = int(os.environ.get("BENCH_DIM", 128))
+DATASET = os.environ.get("BENCH_DATASET", "sift-128-euclidean")
+MAX_ROWS = int(os.environ.get("BENCH_N", 1_000_000))
 NQ = int(os.environ.get("BENCH_NQ", 4096))
 K = 10
-GT_N = 1024
-CAGRA_BUDGET_S = float(os.environ.get("BENCH_CAGRA_BUDGET_S", 0))  # 0 = BF only (the 1M nn_descent program stresses the remote compile host; opt in with the env var)
+CAGRA_BUDGET_S = float(os.environ.get("BENCH_CAGRA_BUDGET_S", 900))  # 0 = BF only
 
 
 def _recall(found, gt):
@@ -45,20 +48,17 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.jax_cache"))
 
-    from cuvs_tpu.neighbors import brute_force, cagra
+    from cuvs_tpu.bench import datasets
+    from cuvs_tpu.neighbors import brute_force
 
-    # low-intrinsic-dimension synthetic (embedding-like; iid gaussian is
-    # the degenerate ANN case and wildly unrepresentative)
-    rng = np.random.default_rng(0)
-    r = max(16, DIM // 4)
-    proj = (rng.standard_normal((r, DIM)) / np.sqrt(r)).astype(np.float32)
-    xh = rng.standard_normal((N, r), dtype=np.float32) @ proj
-    xh += 0.05 * rng.standard_normal((N, DIM), dtype=np.float32)
-    qh = rng.standard_normal((NQ, r), dtype=np.float32) @ proj
-    qh += 0.05 * rng.standard_normal((NQ, DIM), dtype=np.float32)
-    x = jax.device_put(xh)
-    q = jax.device_put(qh)
-    del xh, qh
+    ds = datasets.load(DATASET, max_rows=MAX_ROWS)
+    n, dim = ds.base.shape
+    nq = min(NQ, ds.queries.shape[0])
+    x = jax.device_put(ds.base)
+    q = jax.device_put(np.ascontiguousarray(ds.queries[:nq], np.float32)
+                       if ds.queries.dtype != np.float32 else ds.queries[:nq])
+    label_ds = f"{DATASET}{'(synthetic)' if ds.synthetic else ''}"
+    print(f"# dataset {label_ds}: n={n} dim={dim} nq={nq}", file=sys.stderr)
     t_start = time.time()
 
     def sync(t):
@@ -72,7 +72,7 @@ def main():
     # handlers cannot run there), and SIGTERM does the same when it can
     def _bail(why):
         print(f"# emitting early ({why})", file=sys.stderr)
-        _emit(results)
+        _emit(results, n, dim, label_ds)
         sys.stdout.flush()
         os._exit(0)
 
@@ -81,36 +81,39 @@ def main():
     watchdog.daemon = True
     watchdog.start()
 
-    # ---- ground truth (exact, f32-HIGH) ----
+    # ---- ground truth over the FULL query batch (exact, f32-HIGH) ----
     t0 = time.time()
-    bf = brute_force.build(x)
-    gtd, gti = brute_force.search(bf, q[:GT_N], K)
-    gti = np.asarray(gti)
+    bf = brute_force.build(x, metric=ds.metric)
+    if ds.gt_ids is not None and ds.gt_ids.shape[0] >= nq and not ds.synthetic:
+        gti = ds.gt_ids[:nq, :K]
+    else:
+        gtd, gti = brute_force.search(bf, q, K)
+        gti = np.asarray(gti)
     print(f"# ground truth: {time.time()-t0:.1f}s", file=sys.stderr)
 
     # ---- contender 1: brute force bf16 + approx select ----
     for rt, label in ((None, "bf_exact_bf16"), (0.97, "bf_approx_bf16")):
         kw = dict(compute_dtype=jnp.bfloat16, recall_target=rt, query_chunk=1024)
         d, i = sync(brute_force.search(bf, q, K, **kw))
-        rec = _recall(np.asarray(i)[:GT_N], gti)
+        rec = _recall(np.asarray(i), gti)
         reps = 5
         t0 = time.time()
         for _ in range(reps):
             out = brute_force.search(bf, q, K, **kw)
         sync(out[0])
-        qps = NQ * reps / (time.time() - t0)
+        qps = nq * reps / (time.time() - t0)
         print(f"# {label}: recall@10={rec:.4f} qps={qps:.0f}", file=sys.stderr)
         results.append((qps, rec, label))
 
     # ---- contender 2: CAGRA (best-effort; never loses the BF result) ----
     try:
-        _cagra_phase(results, x, q, gti, t_start)
+        _cagra_phase(results, x, q, gti, t_start, ds.metric, nq)
     except Exception as e:  # noqa: BLE001
         print(f"# cagra phase failed: {type(e).__name__}: {e}", file=sys.stderr)
-    _emit(results)
+    _emit(results, n, dim, label_ds)
 
 
-def _cagra_phase(results, x, q, gti, t_start):
+def _cagra_phase(results, x, q, gti, t_start, metric, nq):
     import jax
     import jax.numpy as jnp
 
@@ -123,47 +126,50 @@ def _cagra_phase(results, x, q, gti, t_start):
     if time.time() - t_start > CAGRA_BUDGET_S:
         print("# skipping cagra (budget)", file=sys.stderr)
         return
-    from cuvs_tpu.neighbors import nn_descent
 
     t0 = time.time()
     index = cagra.build(
         x,
         intermediate_graph_degree=64,
         graph_degree=32,
-        build_algo="auto",
+        build_algo="auto",  # partitioned exact above 150k rows
+        metric=metric,
         build_compute_dtype=jnp.bfloat16,
         build_recall_target=0.97,
-        nn_descent_params=nn_descent.IndexParams(
-            graph_degree=64, intermediate_graph_degree=64,
-            max_iterations=10, sample_per_node=512, seed=0,
-        ),
         seed=0,
     )
     jax.block_until_ready(index.graph)
-    print(f"# cagra build: {time.time()-t0:.1f}s n={N} dim={DIM}", file=sys.stderr)
+    print(f"# cagra build: {time.time()-t0:.1f}s", file=sys.stderr)
 
-    for itopk in (64, 128):
-        kw = dict(itopk_size=itopk, search_width=2, query_chunk=NQ, compute_dtype=jnp.bfloat16)
+    def _recall_local(i):
+        return _recall(np.asarray(i), gti)
+
+    for itopk, width in ((64, 2), (96, 2)):
+        if time.time() - t_start > CAGRA_BUDGET_S + 300:
+            break
+        kw = dict(itopk_size=itopk, search_width=width, query_chunk=nq,
+                  compute_dtype=jnp.bfloat16)
         d, i = sync(cagra.search(index, q, K, **kw))
-        rec = _recall(np.asarray(i)[:GT_N], gti)
+        rec = _recall_local(i)
         reps = 3
         t0 = time.time()
         for _ in range(reps):
             out = cagra.search(index, q, K, **kw)
         sync(out[0])
-        qps = NQ * reps / (time.time() - t0)
-        print(f"# cagra itopk={itopk}: recall@10={rec:.4f} qps={qps:.0f}", file=sys.stderr)
+        qps = nq * reps / (time.time() - t0)
+        print(f"# cagra itopk={itopk} w={width}: recall@10={rec:.4f} qps={qps:.0f}",
+              file=sys.stderr)
         results.append((qps, rec, f"cagra_itopk{itopk}"))
 
 
-def _emit(results):
+def _emit(results, n, dim, label_ds):
     qualified = [r for r in results if r[1] >= 0.95]
     best = max(qualified or results, key=lambda r: r[0])
     qps, rec, label = best
     print(
         json.dumps(
             {
-                "metric": f"qps@recall10>=0.95 (n={N}, d={DIM}, {label}, recall={rec:.3f})",
+                "metric": f"qps@recall10>=0.95 ({label_ds} n={n}, d={dim}, {label}, recall={rec:.3f})",
                 "value": round(qps, 1),
                 "unit": "qps",
                 "vs_baseline": round(qps / H100_BASELINE_QPS, 4),
