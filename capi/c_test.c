@@ -65,6 +65,64 @@ int main(void) {
 
   CHECK(cuvsTpuIndexDestroy(index));
   CHECK(cuvsTpuIndexDestroy(loaded));
+
+  /* ---- typed API: int8 dataset + queries (runtime dtype dispatch) ---- */
+  int8_t* i8data = malloc(n * d);
+  for (int64_t i = 0; i < n * d; ++i) i8data[i] = (int8_t)(rand() % 200 - 100);
+  cuvsTpuTensor_t t8 = {i8data, CUVS_TPU_I8, n, d};
+  cuvsTpuIndex_t idx8;
+  CHECK(cuvsTpuIndexBuildTensor("brute_force", "sqeuclidean", NULL, &t8, &idx8));
+  cuvsTpuTensor_t q8 = {i8data, CUVS_TPU_I8, nq, d}; /* first rows again */
+  CHECK(cuvsTpuIndexSearchTensor(idx8, NULL, &q8, k, out_d, out_i));
+  for (int64_t q = 0; q < nq; ++q) {
+    if (out_i[q * k] != (int32_t)q) {
+      fprintf(stderr, "FAIL int8 self-nn: q=%lld id=%d\n", (long long)q,
+              out_i[q * k]);
+      return 1;
+    }
+  }
+  printf("typed int8 search ok\n");
+  CHECK(cuvsTpuIndexDestroy(idx8));
+
+  /* ---- extend: append rows to an IVF index, then find them ---- */
+  cuvsTpuIndex_t ivf;
+  CHECK(cuvsTpuIndexBuild("ivf_flat", "sqeuclidean", "{\"n_lists\": 8}", data,
+                          n - 100, d, &ivf));
+  cuvsTpuTensor_t tail = {data + (n - 100) * d, CUVS_TPU_F32, 100, d};
+  CHECK(cuvsTpuIndexExtend(ivf, &tail));
+  cuvsTpuTensor_t qt = {data + (n - 100) * d, CUVS_TPU_F32, 4, d};
+  CHECK(cuvsTpuIndexSearchTensor(ivf, "{\"n_probes\": 8}", &qt, k, out_d, out_i));
+  for (int64_t q = 0; q < 4; ++q) {
+    if (out_i[q * k] != (int32_t)(n - 100 + q)) {
+      fprintf(stderr, "FAIL extend self-nn: q=%lld id=%d\n", (long long)q,
+              out_i[q * k]);
+      return 1;
+    }
+  }
+  printf("extend ok\n");
+  CHECK(cuvsTpuIndexDestroy(ivf));
+
+  /* ---- mg API over the local device mesh ---- */
+  cuvsTpuTensor_t td = {data, CUVS_TPU_F32, n, d};
+  cuvsTpuMgIndex_t mgi;
+  CHECK(cuvsTpuMgBuild("brute_force", "sharded", "sqeuclidean", NULL, &td, &mgi));
+  cuvsTpuTensor_t qm = {queries, CUVS_TPU_F32, nq, d};
+  CHECK(cuvsTpuMgSearch(mgi, NULL, &qm, k, out_d, out_i));
+  for (int64_t q = 0; q < nq; ++q) {
+    if (out_i[q * k] != (int32_t)q) {
+      fprintf(stderr, "FAIL mg self-nn: q=%lld id=%d\n", (long long)q,
+              out_i[q * k]);
+      return 1;
+    }
+  }
+  CHECK(cuvsTpuMgSerialize(mgi, "/tmp/capi_mg_index"));
+  cuvsTpuMgIndex_t mg2;
+  CHECK(cuvsTpuMgDeserialize("/tmp/capi_mg_index", &mg2));
+  CHECK(cuvsTpuMgSearch(mg2, NULL, &qm, k, out_d, out_i));
+  printf("mg build/search/serialize ok\n");
+  CHECK(cuvsTpuMgDestroy(mgi));
+  CHECK(cuvsTpuMgDestroy(mg2));
+
   printf("C API smoke test PASSED\n");
   return 0;
 }

@@ -2,11 +2,12 @@
  *
  * Reference counterpart: the cuVS C API (/root/reference/c/include/cuvs/
  * core/c_api.h — cuvsResources_t, cuvsError_t + thread-local last error,
- * per-algo create/build/search/destroy). Here the engine is JAX, so the C
- * layer embeds a Python interpreter once per process and dispatches into
- * the cuvs_tpu package; tensors cross the boundary as raw host pointers
- * (row-major) with explicit shapes — the moral equivalent of the DLPack
- * structs the reference uses.
+ * per-algo create/build/search/destroy; DLPack tensors + runtime dtype
+ * dispatch in c/src/neighbors/cagra.cpp:31-110). Here the engine is JAX,
+ * so the C layer embeds a Python interpreter once per process and
+ * dispatches into the cuvs_tpu package; tensors cross the boundary as
+ * cuvsTpuTensor descriptors (DLPack-shaped: data pointer + dtype code +
+ * shape) or as raw float32 pointers via the legacy entry points.
  *
  * Thread-safety: calls serialize on the embedded interpreter's GIL.
  */
@@ -23,6 +24,23 @@ extern "C" {
 typedef enum { CUVS_TPU_SUCCESS = 0, CUVS_TPU_ERROR = 1 } cuvsTpuError_t;
 
 typedef struct cuvsTpuIndex* cuvsTpuIndex_t;
+typedef struct cuvsTpuMgIndex* cuvsTpuMgIndex_t;
+
+/* Element type codes (DLDataType analog, c_api.h:80). */
+typedef enum {
+  CUVS_TPU_F32 = 0,
+  CUVS_TPU_F16 = 1,
+  CUVS_TPU_I8 = 2,
+  CUVS_TPU_U8 = 3,
+} cuvsTpuDtype_t;
+
+/* Host tensor descriptor (row-major, DLPack-shaped). */
+typedef struct {
+  const void* data;
+  cuvsTpuDtype_t dtype;
+  int64_t n_rows;
+  int64_t n_cols;
+} cuvsTpuTensor_t;
 
 /* Initialize the runtime (idempotent). platform: "tpu", "cpu" or NULL. */
 cuvsTpuError_t cuvsTpuInit(const char* platform);
@@ -31,7 +49,8 @@ cuvsTpuError_t cuvsTpuInit(const char* platform);
 const char* cuvsTpuGetLastError(void);
 
 /* Build an index over a row-major float32 [n_rows, dim] host buffer.
- * algo: "brute_force" | "ivf_flat" | "ivf_pq" | "cagra" | "ivf_sq".
+ * algo: "brute_force" | "ivf_flat" | "ivf_pq" | "ivf_sq" | "ivf_rabitq"
+ *       | "cagra".
  * params_json: algo build params as JSON (e.g. "{\"n_lists\": 256}"), may
  * be NULL. metric: "sqeuclidean" | "euclidean" | "inner_product" | ... */
 cuvsTpuError_t cuvsTpuIndexBuild(const char* algo,
@@ -41,6 +60,14 @@ cuvsTpuError_t cuvsTpuIndexBuild(const char* algo,
                                  int64_t n_rows,
                                  int64_t dim,
                                  cuvsTpuIndex_t* out_index);
+
+/* Typed build: runtime dtype dispatch from the tensor descriptor
+ * (f32/f16/i8/u8 datasets, mirroring the reference's DLPack dispatch). */
+cuvsTpuError_t cuvsTpuIndexBuildTensor(const char* algo,
+                                       const char* metric,
+                                       const char* params_json,
+                                       const cuvsTpuTensor_t* dataset,
+                                       cuvsTpuIndex_t* out_index);
 
 /* Search k neighbors for [n_queries, dim] queries. Outputs are row-major
  * [n_queries, k] buffers owned by the caller. params_json may be NULL. */
@@ -53,11 +80,45 @@ cuvsTpuError_t cuvsTpuIndexSearch(cuvsTpuIndex_t index,
                                   float* out_distances,
                                   int32_t* out_neighbors);
 
+/* Typed search (f32/f16/i8/u8 queries). */
+cuvsTpuError_t cuvsTpuIndexSearchTensor(cuvsTpuIndex_t index,
+                                        const char* params_json,
+                                        const cuvsTpuTensor_t* queries,
+                                        int64_t k,
+                                        float* out_distances,
+                                        int32_t* out_neighbors);
+
+/* Append rows to an existing index (per-algo extend semantics). The
+ * handle is updated in place. */
+cuvsTpuError_t cuvsTpuIndexExtend(cuvsTpuIndex_t index,
+                                  const cuvsTpuTensor_t* new_rows);
+
 /* Serialize / deserialize (npz container with validated header). */
 cuvsTpuError_t cuvsTpuIndexSerialize(cuvsTpuIndex_t index, const char* path);
 cuvsTpuError_t cuvsTpuIndexDeserialize(const char* path, cuvsTpuIndex_t* out);
 
 cuvsTpuError_t cuvsTpuIndexDestroy(cuvsTpuIndex_t index);
+
+/* ---- Multi-chip (SNMG analog; reference c/include/cuvs/neighbors/
+ * mg_cagra.h etc.). Builds over the full local device mesh. mode:
+ * "sharded" | "replicated". ---- */
+cuvsTpuError_t cuvsTpuMgBuild(const char* algo,
+                              const char* mode,
+                              const char* metric,
+                              const char* params_json,
+                              const cuvsTpuTensor_t* dataset,
+                              cuvsTpuMgIndex_t* out_index);
+
+cuvsTpuError_t cuvsTpuMgSearch(cuvsTpuMgIndex_t index,
+                               const char* params_json,
+                               const cuvsTpuTensor_t* queries,
+                               int64_t k,
+                               float* out_distances,
+                               int32_t* out_neighbors);
+
+cuvsTpuError_t cuvsTpuMgSerialize(cuvsTpuMgIndex_t index, const char* path);
+cuvsTpuError_t cuvsTpuMgDeserialize(const char* path, cuvsTpuMgIndex_t* out);
+cuvsTpuError_t cuvsTpuMgDestroy(cuvsTpuMgIndex_t index);
 
 #ifdef __cplusplus
 }

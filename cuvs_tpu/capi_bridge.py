@@ -18,13 +18,16 @@ _ALGOS = None
 def _algos():
     global _ALGOS
     if _ALGOS is None:
-        from cuvs_tpu.neighbors import brute_force, cagra, ivf_flat, ivf_pq, ivf_sq
+        from cuvs_tpu.neighbors import (
+            brute_force, cagra, ivf_flat, ivf_pq, ivf_rabitq, ivf_sq,
+        )
 
         _ALGOS = {
             "brute_force": brute_force,
             "ivf_flat": ivf_flat,
             "ivf_pq": ivf_pq,
             "ivf_sq": ivf_sq,
+            "ivf_rabitq": ivf_rabitq,
             "cagra": cagra,
         }
     return _ALGOS
@@ -83,3 +86,71 @@ def deserialize(path: str):
 
     index = ser.load(path)
     return (ser.kind_of(index), index)
+
+
+# ---- typed (DLPack-analog) entry points: runtime dtype dispatch ----
+
+def build_typed(algo: str, metric: str, params_json: str, data_ptr: int,
+                n_rows: int, dim: int, dtype: str):
+    module = _algos()[algo]
+    data = _wrap(data_ptr, (n_rows, dim), np.dtype(dtype)).copy()
+    params = json.loads(params_json or "{}")
+    index = module.build(data, metric=metric, **params)
+    return (algo, index)
+
+
+def search_typed(handle, params_json: str, q_ptr: int, n_queries: int,
+                 dim: int, dtype: str, k: int, out_d_ptr: int, out_i_ptr: int):
+    algo, index = handle
+    module = _algos()[algo]
+    q = _wrap(q_ptr, (n_queries, dim), np.dtype(dtype)).copy()
+    params = json.loads(params_json or "{}")
+    d, i = module.search(index, q, int(k), **params)
+    _wrap(out_d_ptr, (n_queries, k), np.float32)[:] = np.asarray(d, np.float32)
+    _wrap(out_i_ptr, (n_queries, k), np.int32)[:] = np.asarray(i, np.int32)
+    return True
+
+
+def extend(handle, ptr: int, n_rows: int, dim: int, dtype: str):
+    algo, index = handle
+    module = _algos()[algo]
+    if not hasattr(module, "extend"):
+        raise ValueError(f"{algo} does not support extend")
+    rows = _wrap(ptr, (n_rows, dim), np.dtype(dtype)).copy()
+    return (algo, module.extend(index, rows))
+
+
+# ---- multi-chip API (reference mg_cagra.h / mg_ivf_flat.h analogs) ----
+
+def mg_build(algo: str, mode: str, metric: str, params_json: str,
+             data_ptr: int, n_rows: int, dim: int, dtype: str):
+    from cuvs_tpu import mg
+
+    data = _wrap(data_ptr, (n_rows, dim), np.dtype(dtype)).copy()
+    params = json.loads(params_json or "{}")
+    return mg.build(data, algo=algo, mode=mode, metric=metric, **params)
+
+
+def mg_search(index, params_json: str, q_ptr: int, n_queries: int, dim: int,
+              dtype: str, k: int, out_d_ptr: int, out_i_ptr: int):
+    from cuvs_tpu import mg
+
+    q = _wrap(q_ptr, (n_queries, dim), np.dtype(dtype)).copy()
+    params = json.loads(params_json or "{}")
+    d, i = mg.search(index, q, int(k), **params)
+    _wrap(out_d_ptr, (n_queries, k), np.float32)[:] = np.asarray(d, np.float32)
+    _wrap(out_i_ptr, (n_queries, k), np.int32)[:] = np.asarray(i, np.int32)
+    return True
+
+
+def mg_serialize(index, path: str):
+    from cuvs_tpu.mg import snmg
+
+    snmg.save(path, index)
+    return True
+
+
+def mg_deserialize(path: str):
+    from cuvs_tpu.mg import snmg
+
+    return snmg.load(path)
