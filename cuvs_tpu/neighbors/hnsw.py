@@ -33,14 +33,52 @@ from cuvs_tpu.distance.pairwise import DistanceType, normalize_metric
 class HnswParams:
     """Mirrors hnsw::index_params (hnsw.hpp:43-61)."""
 
-    hierarchy: str = "none"  # "none" = base-layer-only (CPU/GPU later)
+    hierarchy: str = "none"  # "none" = base-layer-only | "cpu" = real levels
     ef_construction: int = 200
+    seed: int = 0
+
+
+def _build_hierarchy(data: np.ndarray, m: int, mult: float, seed: int):
+    """Assign HNSW levels and build upper-layer graphs (hnsw.hpp:43-61
+    hierarchy CPU mode; level draw matches hnswlib's floor(-ln(U)*mult)).
+
+    Returns (levels [n] int32, {level: (node_ids, links [len, m] int32
+    local-to-global)}). Upper layers are tiny (n/M^l nodes), so exact
+    per-level k-NN graphs are cheap and strictly better than hnswlib's
+    greedy inserts.
+    """
+    n = data.shape[0]
+    rng = np.random.default_rng(seed)
+    levels = np.floor(-np.log(rng.random(n)) * mult).astype(np.int32)
+    layers = {}
+    for l in range(1, int(levels.max()) + 1):
+        nodes = np.where(levels >= l)[0]
+        if len(nodes) == 0:
+            break
+        if len(nodes) == 1:
+            layers[l] = (nodes, np.full((1, 0), 0, np.int32))
+            continue
+        sub = data[nodes]
+        kk = min(m, len(nodes) - 1)
+        d2 = (
+            (sub * sub).sum(1)[:, None]
+            + (sub * sub).sum(1)[None, :]
+            - 2.0 * sub @ sub.T
+        )
+        np.fill_diagonal(d2, np.inf)
+        links_local = np.argsort(d2, axis=1)[:, :kk]
+        layers[l] = (nodes, nodes[links_local].astype(np.int32))
+    return levels, layers
 
 
 def from_cagra(cagra_index, path: str, params: HnswParams = HnswParams()) -> None:
-    """Serialize a CAGRA index as an hnswlib file (hnsw::from_cagra)."""
-    if params.hierarchy != "none":
-        raise NotImplementedError("only base-layer-only export is implemented")
+    """Serialize a CAGRA index as an hnswlib file (hnsw::from_cagra).
+
+    hierarchy="none" writes a base-layer-only file (readable by cuVS's
+    patched hnswlib); hierarchy="cpu" additionally assigns hnswlib-style
+    levels and writes exact upper-layer link lists, producing a file
+    vanilla hnswlib loads and searches with its normal descent.
+    """
     graph = np.asarray(cagra_index.graph, np.uint32)
     data = np.asarray(cagra_index.dataset, np.float32)
     n, deg = graph.shape
@@ -53,6 +91,25 @@ def from_cagra(cagra_index, path: str, params: HnswParams = HnswParams()) -> Non
     label_offset = size_links0 + data_size
     offset_data = size_links0
     mult = 1.0 / np.log(max(m, 2))
+    size_links_upper = m * 4 + 4  # size_links_per_element_ in hnswlib
+
+    if params.hierarchy == "cpu":
+        levels, layers = _build_hierarchy(data, m, mult, params.seed)
+        maxlevel = int(levels.max()) if n else 0
+        enterpoint = int(np.argmax(levels))
+    elif params.hierarchy == "none":
+        levels = np.zeros(n, np.int32)
+        layers = {}
+        maxlevel = 1  # base-only convention (hnsw.hpp:468)
+        enterpoint = n // 2  # (hnsw.hpp:467)
+    else:
+        raise NotImplementedError(f"hierarchy {params.hierarchy!r}")
+
+    # per-level link lookup: node -> links per level
+    links_at = {}
+    for l, (nodes, links) in layers.items():
+        for row, node in enumerate(nodes):
+            links_at[(int(node), l)] = links[row]
 
     with open(path, "wb") as f:
         f.write(struct.pack("<Q", 0))  # offsetLevel0
@@ -61,8 +118,8 @@ def from_cagra(cagra_index, path: str, params: HnswParams = HnswParams()) -> Non
         f.write(struct.pack("<Q", size_per_elem))
         f.write(struct.pack("<Q", label_offset))
         f.write(struct.pack("<Q", offset_data))
-        f.write(struct.pack("<i", 1))  # maxlevel (base-only: 1, hnsw.hpp:468)
-        f.write(struct.pack("<i", n // 2))  # enterpoint (hnsw.hpp:467)
+        f.write(struct.pack("<i", maxlevel))
+        f.write(struct.pack("<i", enterpoint))
         f.write(struct.pack("<Q", m))  # maxM
         f.write(struct.pack("<Q", max_m0))  # maxM0
         f.write(struct.pack("<Q", m))  # M
@@ -77,8 +134,20 @@ def from_cagra(cagra_index, path: str, params: HnswParams = HnswParams()) -> Non
                 f.write(b"\x00" * (4 * pad))
             f.write(data[i].tobytes())
             f.write(struct.pack("<Q", i))
-        # per-element upper-level link lists: all empty
-        f.write(struct.pack("<I", 0) * n)
+        # per-element upper-level link lists (hnswlib linkLists_ layout:
+        # one [count][maxM links] record per level 1..level(i))
+        for i in range(n):
+            li = int(levels[i])
+            if li == 0:
+                f.write(struct.pack("<I", 0))
+                continue
+            f.write(struct.pack("<I", size_links_upper * li))
+            for l in range(1, li + 1):
+                ln = links_at.get((i, l), np.zeros(0, np.int32))
+                f.write(struct.pack("<i", len(ln)))
+                buf = np.zeros(m, np.uint32)
+                buf[: len(ln)] = ln.astype(np.uint32)
+                f.write(buf.tobytes())
 
 
 def load(path: str, metric="sqeuclidean"):
@@ -106,6 +175,33 @@ def load(path: str, metric="sqeuclidean"):
     graph = np.where(col < counts[:, None], graph, graph[:, :1])
     data = arr[:, offset_data : offset_data + dim * 4].copy().view(np.float32)
     return cagra_mod.from_graph(data.reshape(n, dim), graph, metric=metric)
+
+
+def read_hierarchy(path: str):
+    """Parse the upper-level structure of an hnswlib file (verification
+    helper): returns (levels [n], maxlevel, enterpoint, {(node, level):
+    links}). Layout per hnswlib's loadIndex."""
+    with open(path, "rb") as f:
+        head = f.read(8 * 6)
+        _, _, n, size_per_elem, label_offset, offset_data = struct.unpack("<6Q", head)
+        maxlevel, enterpoint = struct.unpack("<2i", f.read(8))
+        max_m, max_m0, m = struct.unpack("<3Q", f.read(24))
+        f.read(8 + 8)  # mult, ef_construction
+        f.seek(n * size_per_elem, 1)
+        size_links_upper = m * 4 + 4
+        levels = np.zeros(n, np.int32)
+        links = {}
+        for i in range(n):
+            (sz,) = struct.unpack("<I", f.read(4))
+            if sz == 0:
+                continue
+            li = sz // size_links_upper
+            levels[i] = li
+            for l in range(1, li + 1):
+                (cnt,) = struct.unpack("<i", f.read(4))
+                arr = np.frombuffer(f.read(4 * m), np.uint32)[:cnt]
+                links[(i, l)] = arr.astype(np.int64)
+    return levels, maxlevel, enterpoint, links
 
 
 def search(index, queries, k: int, ef: int = 64, **kw) -> Tuple[np.ndarray, np.ndarray]:

@@ -13,6 +13,12 @@ CSR on host, accumulate dot products with dense MXU matmuls, and apply
 the metric epilogue from precomputed sparse norms. For realistic ANN
 sparsity (TF-IDF etc.) the densified tiles are small compared to the
 matmul throughput they unlock.
+
+Metric coverage matches the reference's sparse semiring set
+(sparse_distance.cu): the expanded family (L2/IP/cosine/Hellinger/
+Jaccard/Dice/RusselRao) rides the MXU dot accumulation; the semiring
+long tail (L1, Linf, Canberra, Lp, Hamming, KL, Jensen-Shannon,
+BrayCurtis) accumulates per-feature VPU terms tile by tile.
 """
 
 from __future__ import annotations
@@ -20,6 +26,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -41,11 +48,29 @@ class SparseIndex:
         return self.indptr.shape[0] - 1
 
 
+# metrics computable from the accumulated dot + row norms (one MXU matmul
+# per tile, possibly on transformed values)
+_DOT_METRICS = {
+    DistanceType.L2Expanded, DistanceType.L2SqrtExpanded,
+    DistanceType.InnerProduct, DistanceType.CosineExpanded,
+    DistanceType.HellingerExpanded, DistanceType.JaccardExpanded,
+    DistanceType.DiceExpanded, DistanceType.RusselRaoExpanded,
+}
+# semiring long tail: per-feature terms accumulated across tiles on the
+# VPU (reference cpp/src/distance/sparse_distance.cu semiring set)
+_POINTWISE_METRICS = {
+    DistanceType.L1, DistanceType.Linf, DistanceType.Canberra,
+    DistanceType.LpUnexpanded, DistanceType.L2Unexpanded,
+    DistanceType.L2SqrtUnexpanded, DistanceType.HammingUnexpanded,
+    DistanceType.KLDivergence, DistanceType.JensenShannon,
+    DistanceType.BrayCurtis,
+}
+
+
 def build(indptr, indices, data, n_cols: int, metric="sqeuclidean") -> SparseIndex:
     metric = normalize_metric(metric)
-    if metric not in (DistanceType.L2Expanded, DistanceType.L2SqrtExpanded,
-                      DistanceType.InnerProduct, DistanceType.CosineExpanded):
-        raise ValueError(f"sparse knn supports L2/IP/cosine, got {metric}")
+    if metric not in _DOT_METRICS | _POINTWISE_METRICS:
+        raise ValueError(f"unsupported sparse metric {metric}")
     indptr = np.asarray(indptr, np.int64)
     indices = np.asarray(indices, np.int32)
     data = np.asarray(data, np.float32)
@@ -67,6 +92,80 @@ def _densify(indptr, indices, data, rows, col_lo, col_hi):
         m = (cols >= col_lo) & (cols < col_hi)
         out[i, cols[m] - col_lo] = data[s:e][m]
     return out
+
+
+def _tile_terms(metric, qd, xd, p):
+    """Per-feature-tile partial terms for the semiring tail: qd [Q, T],
+    xd [X, T] -> ([Q, X] partial, [Q, X] secondary or None). Every term is
+    zero when both values are zero, so absent CSR entries and feature-pad
+    columns contribute nothing."""
+    q3 = qd[:, None, :]
+    x3 = xd[None, :, :]
+    diff = q3 - x3
+    m = metric
+    if m == DistanceType.L1:
+        return jnp.sum(jnp.abs(diff), -1), None
+    if m == DistanceType.Linf:
+        return jnp.max(jnp.abs(diff), -1), None
+    if m == DistanceType.Canberra:
+        denom = jnp.abs(q3) + jnp.abs(x3)
+        return jnp.sum(jnp.where(denom > 0, jnp.abs(diff) / jnp.maximum(denom, 1e-30), 0.0), -1), None
+    if m == DistanceType.LpUnexpanded:
+        return jnp.sum(jnp.power(jnp.abs(diff), p), -1), None
+    if m in (DistanceType.L2Unexpanded, DistanceType.L2SqrtUnexpanded):
+        return jnp.sum(diff * diff, -1), None
+    if m == DistanceType.HammingUnexpanded:
+        return jnp.sum((q3 != x3).astype(jnp.float32), -1), None
+    if m == DistanceType.KLDivergence:
+        t = jnp.where(q3 > 0, q3 * jnp.log(jnp.maximum(q3, 1e-30) / jnp.maximum(x3, 1e-30)), 0.0)
+        return jnp.sum(t, -1), None
+    if m == DistanceType.JensenShannon:
+        mean = jnp.maximum(0.5 * (q3 + x3), 1e-30)
+        kx = jnp.where(q3 > 0, q3 * jnp.log(jnp.maximum(q3, 1e-30) / mean), 0.0)
+        ky = jnp.where(x3 > 0, x3 * jnp.log(jnp.maximum(x3, 1e-30) / mean), 0.0)
+        return jnp.sum(kx + ky, -1), None
+    if m == DistanceType.BrayCurtis:
+        return jnp.sum(jnp.abs(diff), -1), jnp.sum(jnp.abs(q3 + x3), -1)
+    raise AssertionError(m)
+
+
+def _pointwise_blocks(metric, q_indptr, q_indices, q_data, qrows, index,
+                      xrows, f_tiles, feature_tile, p=2.0):
+    """Semiring-tail distances for one (query block, index block) pair:
+    densify per feature tile, accumulate the per-tile terms (sum, or max
+    for Linf), then apply the metric finalizer."""
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("m",))
+    def tile_fn(qd, xd, m):
+        return _tile_terms(m, qd, xd, p)
+
+    acc = jnp.zeros((len(qrows), len(xrows)), jnp.float32)
+    acc2 = jnp.zeros_like(acc) if metric == DistanceType.BrayCurtis else None
+    combine_max = metric == DistanceType.Linf
+    for lo in f_tiles:
+        hi = min(lo + feature_tile, index.n_cols)
+        qd = _densify(q_indptr, q_indices, q_data, qrows, lo, hi)
+        xd = _densify(index.indptr, index.indices, index.data, xrows, lo, hi)
+        if not qd.any() and not xd.any():
+            continue
+        t, t2 = tile_fn(jnp.asarray(qd), jnp.asarray(xd), metric)
+        acc = jnp.maximum(acc, t) if combine_max else acc + t
+        if t2 is not None:
+            acc2 = acc2 + t2
+    acc = np.asarray(acc)
+    m = metric
+    if m == DistanceType.LpUnexpanded:
+        return np.power(acc, 1.0 / p)
+    if m == DistanceType.L2SqrtUnexpanded:
+        return np.sqrt(np.maximum(acc, 0.0))
+    if m == DistanceType.HammingUnexpanded:
+        return acc / index.n_cols
+    if m == DistanceType.JensenShannon:
+        return np.sqrt(np.maximum(0.5 * acc, 0.0))
+    if m == DistanceType.BrayCurtis:
+        return acc / np.maximum(np.asarray(acc2), 1e-30)
+    return acc
 
 
 def search(
@@ -95,37 +194,69 @@ def search(
     out_i = np.empty((nq, k), np.int64)
     f_tiles = range(0, index.n_cols, feature_tile)
 
+    pointwise = metric in _POINTWISE_METRICS
+    if pointwise:
+        # the VPU path materializes [Q, X, T] broadcast terms — keep blocks
+        # modest so the intermediate stays ~100 MB
+        query_block = min(query_block, 256)
+        index_block = min(index_block, 1024)
+        feature_tile = min(feature_tile, 1024)
+        f_tiles = range(0, index.n_cols, feature_tile)
+    sqrt_vals = metric == DistanceType.HellingerExpanded
+
     for qs in range(0, nq, query_block):
         qrows = np.arange(qs, min(qs + query_block, nq))
         best_d = np.full((len(qrows), 0), np.inf, np.float32)
         best_i = np.zeros((len(qrows), 0), np.int64)
         for xs in range(0, n, index_block):
             xrows = np.arange(xs, min(xs + index_block, n))
-            dots = jnp.zeros((len(qrows), len(xrows)), jnp.float32)
-            for lo in f_tiles:
-                hi = min(lo + feature_tile, index.n_cols)
-                qd = _densify(q_indptr, q_indices, q_data, qrows, lo, hi)
-                xd = _densify(index.indptr, index.indices, index.data, xrows, lo, hi)
-                if not qd.any() or not xd.any():
-                    continue
-                dots = dots + lax.dot_general(
-                    jnp.asarray(qd), jnp.asarray(xd), (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=matmul_precision(jnp.float32),
+            if pointwise:
+                dist = _pointwise_blocks(
+                    metric, q_indptr, q_indices, q_data, qrows,
+                    index, xrows, f_tiles, feature_tile,
                 )
-            dots = np.asarray(dots)
-            if ip:
-                dist = -dots
-            elif metric == DistanceType.CosineExpanded:
-                denom = np.maximum(
-                    np.sqrt(qn[qrows])[:, None] * np.sqrt(index.norms[xrows])[None, :],
-                    1e-30,
-                )
-                dist = 1.0 - dots / denom
             else:
-                dist = np.maximum(
-                    qn[qrows][:, None] + index.norms[xrows][None, :] - 2.0 * dots, 0.0
-                )
+                dots = jnp.zeros((len(qrows), len(xrows)), jnp.float32)
+                for lo in f_tiles:
+                    hi = min(lo + feature_tile, index.n_cols)
+                    qd = _densify(q_indptr, q_indices, q_data, qrows, lo, hi)
+                    xd = _densify(index.indptr, index.indices, index.data, xrows, lo, hi)
+                    if not qd.any() or not xd.any():
+                        continue
+                    if sqrt_vals:
+                        qd = np.sqrt(np.maximum(qd, 0.0))
+                        xd = np.sqrt(np.maximum(xd, 0.0))
+                    dots = dots + lax.dot_general(
+                        jnp.asarray(qd), jnp.asarray(xd), (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=matmul_precision(jnp.float32),
+                    )
+                dots = np.asarray(dots)
+                if ip:
+                    dist = -dots
+                elif metric == DistanceType.CosineExpanded:
+                    denom = np.maximum(
+                        np.sqrt(qn[qrows])[:, None] * np.sqrt(index.norms[xrows])[None, :],
+                        1e-30,
+                    )
+                    dist = 1.0 - dots / denom
+                elif metric == DistanceType.HellingerExpanded:
+                    dist = np.sqrt(np.maximum(1.0 - dots, 0.0))
+                elif metric == DistanceType.JaccardExpanded:
+                    union = np.maximum(
+                        qn[qrows][:, None] + index.norms[xrows][None, :] - dots, 1e-30
+                    )
+                    dist = 1.0 - dots / union
+                elif metric == DistanceType.DiceExpanded:
+                    dist = 1.0 - 2.0 * dots / np.maximum(
+                        qn[qrows][:, None] + index.norms[xrows][None, :], 1e-30
+                    )
+                elif metric == DistanceType.RusselRaoExpanded:
+                    dist = (index.n_cols - dots) / index.n_cols
+                else:
+                    dist = np.maximum(
+                        qn[qrows][:, None] + index.norms[xrows][None, :] - 2.0 * dots, 0.0
+                    )
             kk = min(k, dist.shape[1])
             part = np.argpartition(dist, kk - 1, axis=1)[:, :kk]
             pv = np.take_along_axis(dist, part, axis=1)

@@ -98,6 +98,31 @@ def test_hnsw_roundtrip(tmp_path):
     assert calc_recall(np.asarray(i), gti) >= 0.9
 
 
+def test_hnsw_cpu_hierarchy(tmp_path):
+    """hierarchy="cpu" (hnsw.hpp:43-61): real hnswlib levels + upper-layer
+    links, structurally valid for vanilla hnswlib descent."""
+    from cuvs_tpu.neighbors import cagra, hnsw
+
+    x = _cloud(3000, 16)
+    idx = cagra.build(x, intermediate_graph_degree=32, graph_degree=16, seed=0)
+    p = str(tmp_path / "h.hnsw")
+    hnsw.from_cagra(idx, p, hnsw.HnswParams(hierarchy="cpu", seed=0))
+    levels, maxlevel, enterpoint, links = hnsw.read_hierarchy(p)
+    assert maxlevel >= 1  # 3000 nodes at mult=1/ln(8) gives several levels
+    assert levels[enterpoint] == maxlevel
+    # expected layer shrinkage: |level l| ~ n * exp(-l/mult)
+    n1 = int((levels >= 1).sum())
+    assert 0 < n1 < 3000
+    for (node, l), ln in links.items():
+        assert levels[node] >= l
+        assert len(ln) > 0
+        # upper-layer links must point to nodes present at that layer
+        assert (levels[ln] >= l).all(), (node, l)
+    # base layer unchanged: the file still loads as a CAGRA graph
+    loaded = hnsw.load(p)
+    np.testing.assert_array_equal(np.asarray(loaded.graph), np.asarray(idx.graph))
+
+
 def test_hnsw_header_fields(tmp_path):
     import struct
 

@@ -38,6 +38,32 @@ def test_sparse_bf_inner_product():
     assert calc_recall(i, gti) >= 0.99
 
 
+@pytest.mark.parametrize("metric", [
+    "l1", "linf", "canberra", "hellinger", "jaccard", "dice", "russellrao",
+    "hamming", "jensenshannon", "braycurtis",
+])
+def test_sparse_semiring_tail_matches_dense(metric):
+    """The full sparse semiring metric set (sparse_distance.cu) against the
+    dense pairwise reference on densified data."""
+    from cuvs_tpu.distance.pairwise import pairwise_distance
+    from cuvs_tpu.neighbors import sparse_brute_force as sbf
+
+    rng = np.random.default_rng(5)
+    x = _random_csr(rng, 300, 120, density=0.15)
+    q = _random_csr(rng, 8, 120, density=0.15)
+    if metric in ("hellinger", "jensenshannon"):
+        # probability-like inputs (non-negative rows); scipy.random is
+        # already non-negative uniform
+        pass
+    idx = sbf.from_scipy(x, metric=metric)
+    d, i = sbf.search(idx, q.indptr, q.indices, q.data, 5,
+                      index_block=128, feature_tile=64)
+    dense = np.asarray(pairwise_distance(q.toarray(), x.toarray(), metric=metric))
+    gti = np.argsort(dense, axis=1, kind="stable")[:, :5]
+    gtd = np.take_along_axis(dense, gti, axis=1)
+    np.testing.assert_allclose(d, gtd, rtol=2e-3, atol=2e-3)
+
+
 def test_bench_runner_and_pareto(tmp_path):
     from cuvs_tpu.bench import runner
 
