@@ -35,14 +35,50 @@ class BatchParams:
     conservative_dispatch: bool = False
 
 
+def _native_queue_lib():
+    """The compiled MPSC queue (native/batch_queue.cpp) when built."""
+    import ctypes
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "io", "libcuvs_tpu_native.so"
+    )
+    if not os.path.exists(path):
+        return None
+    lib = ctypes.CDLL(path)
+    lib.cuvs_tpu_queue_create.restype = ctypes.c_void_p
+    lib.cuvs_tpu_queue_create.argtypes = [ctypes.c_int64, ctypes.c_int64]
+    lib.cuvs_tpu_queue_destroy.argtypes = [ctypes.c_void_p]
+    lib.cuvs_tpu_queue_close.argtypes = [ctypes.c_void_p]
+    lib.cuvs_tpu_queue_push.restype = ctypes.c_int64
+    lib.cuvs_tpu_queue_push.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.c_int64,
+    ]
+    lib.cuvs_tpu_queue_pop_batch.restype = ctypes.c_int64
+    lib.cuvs_tpu_queue_pop_batch.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
+    ]
+    lib.cuvs_tpu_queue_size.restype = ctypes.c_int64
+    lib.cuvs_tpu_queue_size.argtypes = [ctypes.c_void_p]
+    return lib
+
+
 class BatchedSearcher:
     """Wraps any (index, search_fn) in a request-aggregating queue.
 
     search_fn(queries [B, d]) -> (dists [B, k], ids [B, k]) must accept the
     fixed batch shape; ``submit`` returns a Future per request.
+
+    ``backend``: "auto" uses the native MPSC ring (native/batch_queue.cpp,
+    the reference's lock-free pinned ring analog) when the compiled
+    library is present, else the Python condvar queue; "python"/"native"
+    force one.
     """
 
-    def __init__(self, search_fn: Callable, dim: int, params: BatchParams = BatchParams()):
+    def __init__(self, search_fn: Callable, dim: int,
+                 params: BatchParams = BatchParams(), backend: str = "auto"):
         self.search_fn = search_fn
         self.params = params
         self.dim = dim
@@ -50,6 +86,16 @@ class BatchedSearcher:
         self._pending: List[Tuple[np.ndarray, Future]] = []
         self._rows = 0
         self._closed = False
+        self._native = None
+        if backend in ("auto", "native"):
+            lib = _native_queue_lib()
+            if lib is not None:
+                self._native = _NativeBackend(lib, search_fn, dim, params)
+                return
+            if backend == "native":
+                raise RuntimeError(
+                    "native queue not built (run make in native/)"
+                )
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -60,6 +106,8 @@ class BatchedSearcher:
             queries = queries[None]
         if queries.shape[1] != self.dim:
             raise ValueError(f"expected dim {self.dim}, got {queries.shape[1]}")
+        if self._native is not None:
+            return self._native.submit(queries)
         fut = Future()
         with self._lock:
             if self._closed:
@@ -119,17 +167,126 @@ class BatchedSearcher:
                     fut.set_exception(e)
 
     def close(self):
+        if self._native is not None:
+            self._native.close()
+            return
         with self._lock:
             self._closed = True
             self._lock.notify_all()
         self._worker.join(timeout=5.0)
 
 
-def wrap(module, index, dim: int, params: BatchParams = BatchParams(), **search_kw) -> BatchedSearcher:
+class _NativeBackend:
+    """Dispatcher over the compiled MPSC ring (native/batch_queue.cpp):
+    request threads push rows tagged with a ticket; one dispatcher pops a
+    contiguous batch (capacity or dispatch-timeout), searches, and
+    resolves futures as each ticket's rows complete."""
+
+    def __init__(self, lib, search_fn, dim, params):
+        import ctypes
+
+        self._ct = ctypes
+        self.lib = lib
+        self.search_fn = search_fn
+        self.dim = dim
+        self.params = params
+        self.q = lib.cuvs_tpu_queue_create(max(params.max_batch_size * 4, 512), dim)
+        self._mu = threading.Lock()
+        self._next_ticket = 0
+        self._inflight = {}  # ticket -> [n_rows, Future, rows_d, rows_i, filled]
+        self._closed = False
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def submit(self, queries) -> Future:
+        ct = self._ct
+        fut = Future()
+        m, k = queries.shape[0], self.params.k
+        with self._mu:
+            if self._closed:
+                raise RuntimeError("searcher closed")
+            ticket = self._next_ticket
+            self._next_ticket += 1
+            self._inflight[ticket] = [
+                m, fut, np.empty((m, k), np.float32), np.empty((m, k), np.int32), 0,
+            ]
+        rows = np.ascontiguousarray(queries, np.float32)
+        pushed = self.lib.cuvs_tpu_queue_push(
+            self.q, rows.ctypes.data_as(ct.POINTER(ct.c_float)), m, ticket
+        )
+        if pushed != m:
+            with self._mu:
+                self._inflight.pop(ticket, None)
+            fut.set_exception(RuntimeError("queue closed during push"))
+        return fut
+
+    def search(self, queries, timeout=30.0):
+        return self.submit(queries).result(timeout=timeout)
+
+    def _run(self):
+        ct = self._ct
+        B = self.params.max_batch_size
+        k = self.params.k
+        out = np.empty((B, self.dim), np.float32)
+        tickets = np.empty(B, np.int64)
+        timeout_us = int(self.params.dispatch_timeout_ms * 1000)
+        while True:
+            n = self.lib.cuvs_tpu_queue_pop_batch(
+                self.q, out.ctypes.data_as(ct.POINTER(ct.c_float)),
+                tickets.ctypes.data_as(ct.POINTER(ct.c_int64)), B, timeout_us,
+            )
+            if n == 0:
+                if self._closed and self.lib.cuvs_tpu_queue_size(self.q) == 0:
+                    return
+                continue
+            padded = out
+            if n < B:  # keep the jitted shape fixed
+                padded = out.copy()
+                padded[n:] = 0.0
+            try:
+                d, i = self.search_fn(padded)
+                d = np.asarray(d)[:n]
+                i = np.asarray(i)[:n]
+                err = None
+            except Exception as e:  # noqa: BLE001
+                err = e
+            done = []
+            with self._mu:
+                for r in range(n):
+                    t = int(tickets[r])
+                    ent = self._inflight.get(t)
+                    if ent is None:
+                        continue
+                    if err is not None:
+                        if not ent[1].done():
+                            ent[1].set_exception(err)
+                        self._inflight.pop(t, None)
+                        continue
+                    pos = ent[4]
+                    ent[2][pos] = d[r]
+                    ent[3][pos] = i[r]
+                    ent[4] += 1
+                    if ent[4] == ent[0]:
+                        done.append((ent[1], ent[2], ent[3]))
+                        self._inflight.pop(t, None)
+            for fut, dd, ii in done:
+                fut.set_result((dd, ii))
+
+    def close(self):
+        with self._mu:
+            self._closed = True
+        self.lib.cuvs_tpu_queue_close(self.q)
+        self._worker.join(timeout=5.0)
+        self.lib.cuvs_tpu_queue_destroy(self.q)
+        self.q = None
+
+
+def wrap(module, index, dim: int, params: BatchParams = BatchParams(),
+         backend: str = "auto", **search_kw) -> BatchedSearcher:
     """Build a BatchedSearcher over any index module (the ``dynamic_batching::
     index`` analog: wraps an upstream index)."""
 
     def fn(queries):
         return module.search(index, queries, params.k, **search_kw)
 
-    return BatchedSearcher(fn, dim, params)
+    return BatchedSearcher(fn, dim, params, backend=backend)

@@ -1,18 +1,26 @@
 import threading
 
 import numpy as np
+import pytest
 
 from cuvs_tpu.neighbors import brute_force, dynamic_batching
 from tests.utils import naive_knn, calc_recall, make_blobs
 
 RNG = np.random.default_rng(71)
 
+# exercise BOTH queue implementations: the Python condvar collector and
+# the compiled MPSC ring (native/batch_queue.cpp, skipped when not built)
+BACKENDS = ["python"]
+if dynamic_batching._native_queue_lib() is not None:
+    BACKENDS.append("native")
 
-def test_batched_matches_direct():
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_batched_matches_direct(backend):
     x = make_blobs(RNG, 2000, 16)
     idx = brute_force.build(x)
     bs = dynamic_batching.wrap(
-        brute_force, idx, dim=16,
+        brute_force, idx, dim=16, backend=backend,
         params=dynamic_batching.BatchParams(k=5, max_batch_size=32, dispatch_timeout_ms=5),
     )
     q = make_blobs(RNG, 10, 16)
@@ -22,11 +30,12 @@ def test_batched_matches_direct():
     bs.close()
 
 
-def test_concurrent_requests_aggregate():
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_concurrent_requests_aggregate(backend):
     x = make_blobs(RNG, 3000, 8)
     idx = brute_force.build(x)
     bs = dynamic_batching.wrap(
-        brute_force, idx, dim=8,
+        brute_force, idx, dim=8, backend=backend,
         params=dynamic_batching.BatchParams(k=3, max_batch_size=64, dispatch_timeout_ms=20),
     )
     gtd_all, gti_all = naive_knn(x[:64], x, 3)
@@ -37,12 +46,30 @@ def test_concurrent_requests_aggregate():
     bs.close()
 
 
-def test_error_propagates():
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_multi_row_requests_across_batches(backend):
+    """Requests larger than max_batch_size span several dispatches and
+    still resolve with all rows in order."""
+    x = make_blobs(RNG, 2000, 8)
+    idx = brute_force.build(x)
+    bs = dynamic_batching.wrap(
+        brute_force, idx, dim=8, backend=backend,
+        params=dynamic_batching.BatchParams(k=3, max_batch_size=16, dispatch_timeout_ms=5),
+    )
+    q = x[:40]
+    d, i = bs.search(q, timeout=60)
+    dd, ii = brute_force.search(idx, q, 3)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ii))
+    bs.close()
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_error_propagates(backend):
     def broken(q):
         raise RuntimeError("boom")
 
     bs = dynamic_batching.BatchedSearcher(
-        broken, dim=4,
+        broken, dim=4, backend=backend,
         params=dynamic_batching.BatchParams(k=1, max_batch_size=4, dispatch_timeout_ms=1),
     )
     fut = bs.submit(np.zeros((1, 4), np.float32))
