@@ -17,8 +17,37 @@ if "xla_force_host_platform_device_count" not in flags:
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 # The axon TPU plugin ignores the JAX_PLATFORMS env var; the config update
 # actually forces CPU. Set CUVS_TPU_TEST_PLATFORM=tpu to run tests on chip.
 jax.config.update("jax_platforms", os.environ.get("CUVS_TPU_TEST_PLATFORM", "cpu"))
 jax.config.update("jax_threefry_partitionable", True)
+
+# Long-running recall/scale tests, marked centrally so a fast dev loop is
+# one flag away: `pytest -m "not slow"` (~3x faster); CI runs everything.
+_SLOW = {
+    "test_ivf_pq.py": [
+        "test_recall", "test_per_cluster", "test_lut_dtype", "test_pq_bits",
+        "test_extend", "test_prefilter",
+    ],
+    "test_ivf_flat.py": ["test_recall", "test_extend", "test_adaptive"],
+    "test_ivf_sq.py": ["test_recall"],
+    "test_ivf_rabitq.py": ["test_recall", "test_bits"],
+    "test_ivf_scan.py": ["test_cluster_major"],
+    "test_cagra.py": [
+        "test_recall", "test_itopk", "test_extend_many", "test_guarantee",
+        "test_iterative", "test_ace",
+    ],
+    "test_kmeans.py": ["test_balanced", "test_find_k"],
+    "test_mg.py": ["test_sharded_search"],
+    "test_serialize.py": ["test_cagra_compressed", "test_tiered"],
+    "test_graph_family.py": ["test_hnsw_cpu_hierarchy", "test_vamana_recall"],
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        pats = _SLOW.get(item.fspath.basename, ())
+        if any(item.name.startswith(p) for p in pats):
+            item.add_marker(pytest.mark.slow)
