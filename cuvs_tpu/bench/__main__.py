@@ -26,6 +26,9 @@ def main(argv=None):
                    choices=sorted(datasets.REGISTRY))
     p.add_argument("--algo", action="append", dest="algos",
                    choices=sorted(DEFAULT_GRIDS))
+    p.add_argument("--config", default=None,
+                   help="YAML sweep config (bundled name or path); replaces --algo")
+    p.add_argument("--group", default="base", help="config group to run")
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--max-rows", type=int, default=None)
     p.add_argument("--build-params", type=json.loads, default={})
@@ -34,7 +37,28 @@ def main(argv=None):
     p.add_argument("--csv", default=None)
     p.add_argument("--pareto", action="store_true")
     p.add_argument("--cache-dir", default=".bench_cache")
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform (e.g. cpu); the axon TPU "
+                        "plugin ignores JAX_PLATFORMS, this flag works")
     args = p.parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    if args.config:
+        all_rows = runner.run_config(
+            args.config, args.dataset, group=args.group, k=args.k,
+            max_rows=args.max_rows, reps=args.reps, cache_dir=args.cache_dir,
+        )
+        if args.pareto:
+            all_rows = runner.pareto(all_rows)
+        for r in all_rows:
+            print(json.dumps(r.as_dict()))
+        if args.csv:
+            runner.write_csv(all_rows, args.csv)
+            print(f"# wrote {args.csv}", file=sys.stderr)
+        return
 
     algos = list(dict.fromkeys(args.algos or ["cagra"]))
     all_rows = []

@@ -47,7 +47,9 @@ def _recall(found, gt, k):
 #               search_fn(index, queries, k, search_params) -> (d, i)),
 # closed over the dataset so refine_ratio can re-rank against ds.base.
 def _algo_table(ds):
-    from cuvs_tpu.neighbors import brute_force, cagra, ivf_flat, ivf_pq, ivf_sq, refine
+    from cuvs_tpu.neighbors import (
+        brute_force, cagra, ivf_flat, ivf_pq, ivf_rabitq, ivf_sq, refine,
+    )
 
     def ivf_pq_search(ix, q, k, p):
         p = dict(p)
@@ -57,10 +59,18 @@ def _algo_table(ds):
             return refine.refine(ds.base, q, cand, k, metric=ds.metric)
         return ivf_pq.search(ix, q, k, **p)
 
+    def rabitq_search(ix, q, k, p):
+        p = dict(p)
+        ratio = float(p.pop("refine_ratio", 1.0))
+        if ratio > 1.0:
+            _, cand = ivf_rabitq.search(ix, q, int(k * ratio), **p)
+            return refine.refine(ds.base, q, cand, k, metric=ds.metric)
+        return ivf_rabitq.search(ix, q, k, **p)
+
     return {
         "brute_force": (
             lambda p: brute_force.build(ds.base, metric=ds.metric),
-            lambda ix, q, k, p: brute_force.search(ix, q, k, **p),
+            lambda ix, q, k, p: brute_force.search(ix, q, k, **{k_: v for k_, v in p.items() if v is not None}),
         ),
         "ivf_flat": (
             lambda p: ivf_flat.build(ds.base, metric=ds.metric, **p),
@@ -73,6 +83,10 @@ def _algo_table(ds):
         "ivf_sq": (
             lambda p: ivf_sq.build(ds.base, metric=ds.metric, **p),
             lambda ix, q, k, p: ivf_sq.search(ix, q, k, **p),
+        ),
+        "ivf_rabitq": (
+            lambda p: ivf_rabitq.build(ds.base, metric=ds.metric, **p),
+            rabitq_search,
         ),
         "cagra": (
             lambda p: cagra.build(ds.base, metric=ds.metric, **p),
@@ -137,6 +151,91 @@ def run(
                 latency_ms=round(dt * 1000, 3),
             )
         )
+    return rows
+
+
+def load_config(name_or_path: str) -> Dict:
+    """Load a YAML sweep config (reference config/algos/*.yaml layout:
+    name, optional constraints.{build,search} dotted names, groups of
+    build/search grids). Bare names resolve to the bundled configs/."""
+    import os
+
+    import yaml
+
+    path = name_or_path
+    if not os.path.exists(path):
+        path = os.path.join(os.path.dirname(__file__), "configs", f"{name_or_path}.yaml")
+    with open(path) as f:
+        cfg = yaml.safe_load(f)
+    if "name" not in cfg or "groups" not in cfg:
+        raise ValueError(f"config {name_or_path!r} needs 'name' and 'groups'")
+    return cfg
+
+
+def run_config(
+    config: str,
+    dataset: str,
+    group: str = "base",
+    k: int = 10,
+    max_rows: Optional[int] = None,
+    gt_queries: int = 1024,
+    reps: int = 3,
+    cache_dir: Optional[str] = None,
+) -> List[Row]:
+    """Run a full YAML sweep: every valid build combo x search combo
+    (constraint hooks drop invalid pairs, mirroring cuvs_bench's
+    config/algos/constraints)."""
+    from cuvs_tpu.bench import constraints as cons
+
+    cfg = load_config(config)
+    algo = cfg["name"]
+    grp = cfg["groups"][group]
+    hooks = cfg.get("constraints", {})
+    build_ok = cons.resolve(hooks["build"]) if "build" in hooks else None
+    search_ok = cons.resolve(hooks["search"]) if "search" in hooks else None
+
+    ds = ds_mod.load(dataset, max_rows=max_rows)
+    dims = ds.base.shape[1]
+    batch = ds.queries.shape[0]
+    rows: List[Row] = []
+    for bp in _expand_grid(grp.get("build") or {}):
+        if build_ok is not None and not build_ok(bp, dims):
+            continue
+        sgrid = grp.get("search") or {}
+        combos = [
+            sp for sp in _expand_grid(sgrid)
+            if search_ok is None or search_ok(sp, bp, k, batch)
+        ]
+        if not combos:
+            continue
+        # build once, then time each valid search combo
+        import jax
+        import time as _time
+
+        table = _algo_table(ds)
+        build_fn, search_fn = table[algo]
+        gtd, gti = ds_mod.groundtruth(ds, k=k, gt_queries=gt_queries, cache_dir=cache_dir)
+        t0 = _time.time()
+        index = build_fn(bp)
+        leaves = jax.tree.leaves(index)
+        jax.block_until_ready(leaves[0] if leaves else None)
+        build_s = _time.time() - t0
+        for sp in combos:
+            d, i = search_fn(index, ds.queries, k, sp)
+            jax.block_until_ready(i)
+            rec = _recall(np.asarray(i)[:gt_queries], gti, k)
+            t0 = _time.time()
+            for _ in range(reps):
+                out = search_fn(index, ds.queries, k, sp)
+            jax.block_until_ready(out[1])
+            dt = (_time.time() - t0) / reps
+            rows.append(Row(
+                algo=algo, dataset=ds.name, build_s=round(build_s, 3),
+                params={"build": bp, "search": sp},
+                recall=round(rec, 4),
+                qps=round(ds.queries.shape[0] / dt, 1),
+                latency_ms=round(dt * 1000, 3),
+            ))
     return rows
 
 

@@ -64,6 +64,26 @@ def test_sparse_semiring_tail_matches_dense(metric):
     np.testing.assert_allclose(d, gtd, rtol=2e-3, atol=2e-3)
 
 
+def test_bench_yaml_config_sweep(tmp_path):
+    """YAML sweep configs with constraint hooks (config/algos/*.yaml
+    analog): invalid combos are dropped, rows carry build+search params."""
+    from cuvs_tpu.bench import runner
+
+    rows = runner.run_config(
+        "ivf_flat", "synthetic-100k-96", group="tiny", k=5,
+        max_rows=2000, gt_queries=32, reps=1, cache_dir=str(tmp_path),
+    )
+    assert len(rows) == 3  # 1 build combo x 3 n_probes
+    assert all(r.params["build"] == {"n_lists": 16} for r in rows)
+    assert {r.params["search"]["n_probes"] for r in rows} == {2, 8, 16}
+    assert all(r.qps > 0 and 0 <= r.recall <= 1 for r in rows)
+    # constraint hook drops invalid combos (pq_dim > dims)
+    from cuvs_tpu.bench import constraints
+
+    assert not constraints.ivf_pq_build({"pq_dim": 999}, 96)
+    assert constraints.ivf_pq_build({"pq_dim": 48}, 96)
+
+
 def test_bench_runner_and_pareto(tmp_path):
     from cuvs_tpu.bench import runner
 
