@@ -91,7 +91,16 @@ def build(
     # beat gather-bound nn_descent on TPU.
     c = params.n_clusters
     xf = dataset.astype(jnp.float32)
-    centers = kmeans_balanced.fit(xf, c, seed=params.seed)
+    # train the partitioner on a subsample (reference trains coarse
+    # quantizers on trainset_fraction=0.5 or less; c centers need far
+    # fewer than n rows, and the full-dataset program is compile-hostile)
+    frac = min(1.0, max(200_000, 64 * c) / max(n, 1))
+    centers = kmeans_balanced.fit(
+        xf, c,
+        kmeans_balanced.BalancedParams(
+            n_clusters=c, trainset_fraction=frac, seed=params.seed,
+        ),
+    )
     # overlap_factor nearest clusters per row, selected on device (only the
     # small [n, o] assignment crosses to host for the grouping)
     import jax

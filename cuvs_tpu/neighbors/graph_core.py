@@ -24,35 +24,33 @@ from jax import lax
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
-def _detour_counts(graph: jnp.ndarray, chunk: int = 1024) -> jnp.ndarray:
+def _detour_counts(graph: jnp.ndarray, chunk: int = 0) -> jnp.ndarray:
     """graph [n, K] (rank-sorted). Returns detour counts [n, K] int32.
 
     count[u, i] = |{ j < i : graph[u, i] ∈ graph[graph[u, j]] }|
+
+    One flat compare block per chunk (no inner scan — long scans inside
+    lax.map produce programs the remote TPU compiler chokes on); the
+    [chunk, K, K, K] compare is pure VPU work that XLA fuses with its
+    reduction, and chunk is sized to cap it at ~64 MB.
     """
     n, K = graph.shape
+    if not chunk:
+        chunk = max(8, min(1024, (1 << 26) // max(K ** 3, 1)))
+    chunk = min(chunk, max(8, n))
     pad = (-n) % chunk
     gp = jnp.pad(graph, ((0, pad), (0, 0)))
+    jlt = (
+        jnp.arange(K, dtype=jnp.int32)[None, :, None]
+        > jnp.arange(K, dtype=jnp.int32)[None, None, :]
+    )  # [1, K(i), K(j)]: j < i
 
     def chunk_fn(gu):  # [chunk, K]
-        two_hop = graph[gu]  # [chunk, K, K]
-
-        # scan over the intermediate rank j: count[u, i] += (i > j) and
-        # (gu[u, i] ∈ graph[gu[u, j]]). Bounded [chunk, K, K] intermediates
-        # per step keep compile size and VMEM pressure low.
-        def j_step(counts, j):
-            nbrs_j = jnp.take_along_axis(
-                two_hop, jnp.full((gu.shape[0], 1, 1), j, jnp.int32), axis=1
-            )[:, 0, :]  # [chunk, K] = graph[gu[:, j]]
-            member = jnp.any(
-                gu[:, :, None] == nbrs_j[:, None, :], axis=2
-            )  # [chunk, K]: is gu[u, i] in graph[gu[u, j]]?
-            i_gt_j = jnp.arange(K, dtype=jnp.int32) > j
-            return counts + jnp.logical_and(member, i_gt_j[None, :]).astype(jnp.int32), None
-
-        counts, _ = lax.scan(
-            j_step, jnp.zeros((gu.shape[0], K), jnp.int32), jnp.arange(K, dtype=jnp.int32)
-        )
-        return counts
+        two_hop = graph[gu]  # [chunk, K(j), K]
+        member = jnp.any(
+            gu[:, :, None, None] == two_hop[:, None, :, :], axis=3
+        )  # [chunk, K(i), K(j)]
+        return jnp.sum(jnp.logical_and(member, jlt).astype(jnp.int32), axis=2)
 
     counts = lax.map(chunk_fn, gp.reshape(-1, chunk, K))
     return counts.reshape(-1, K)[:n]
@@ -142,7 +140,7 @@ def _merge_fwd_rev(fwd: jnp.ndarray, rev: jnp.ndarray, rev_valid: jnp.ndarray, o
 def optimize(
     knn_graph: jnp.ndarray,
     out_degree: int,
-    detour_chunk: int = 1024,
+    detour_chunk: int = 0,  # 0 = auto-size to the VPU compare budget
     guarantee_connectivity: bool = False,
     dataset=None,
 ) -> jnp.ndarray:
@@ -158,7 +156,7 @@ def optimize(
     n, K = knn_graph.shape
     if out_degree > K:
         raise ValueError(f"out_degree {out_degree} > intermediate degree {K}")
-    counts = _detour_counts(knn_graph, chunk=min(detour_chunk, max(8, n)))
+    counts = _detour_counts(knn_graph, chunk=detour_chunk)
     fwd = _prune_by_detour(knn_graph, counts, out_degree)
     rev, rev_valid = _reverse_graph(fwd, out_degree)
     graph = _merge_fwd_rev(fwd, rev, rev_valid, out_degree)
