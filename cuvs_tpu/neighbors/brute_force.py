@@ -33,10 +33,19 @@ from cuvs_tpu.selection.select_k import select_k, topk
 
 @flax.struct.dataclass
 class Index:
-    """Brute-force index: dataset + precomputed norms (brute_force.hpp:37)."""
+    """Brute-force index: dataset + precomputed norms (brute_force.hpp:37).
+
+    ``q_scale`` is set when the dataset is stored int8-quantized
+    (``build(..., storage_dtype=jnp.int8)``): rows are
+    ``round(x / q_scale)`` and the scan runs on the MXU's int8 path
+    (2x the bf16 FLOPs and half the HBM traffic on v5e) with dots
+    rescaled by ``q_scale**2``; norms stay exact f32 from the original
+    data. Pair with ``neighbors.refine`` for exact final ranking.
+    """
 
     dataset: jnp.ndarray  # [n, d]
     norms: Optional[jnp.ndarray]  # [n] squared L2 (L2 family) / L2 (cosine)
+    q_scale: Optional[jnp.ndarray] = None  # [] f32, int8 storage only
     metric: DistanceType = flax.struct.field(pytree_node=False, default=DistanceType.L2Expanded)
     metric_arg: float = flax.struct.field(pytree_node=False, default=2.0)
 
@@ -50,8 +59,12 @@ class Index:
 
 
 @traced("brute_force::build")
-def build(dataset, metric="sqeuclidean", metric_arg: float = 2.0) -> Index:
-    """Build an exact-search index (precomputes row norms for L2/cosine)."""
+def build(dataset, metric="sqeuclidean", metric_arg: float = 2.0,
+          storage_dtype=None) -> Index:
+    """Build an exact-search index (precomputes row norms for L2/cosine).
+
+    ``storage_dtype=jnp.int8`` stores globally-scaled int8 rows (see Index).
+    """
     metric = normalize_metric(metric)
     dataset = jnp.asarray(dataset)
     norms = None
@@ -61,21 +74,45 @@ def build(dataset, metric="sqeuclidean", metric_arg: float = 2.0) -> Index:
         norms = pairwise.row_norms(dataset, squared=True)
     elif metric == DistanceType.CosineExpanded:
         norms = pairwise.row_norms(dataset, squared=False)
-    return Index(dataset=dataset, norms=norms, metric=metric, metric_arg=metric_arg)
+    q_scale = None
+    if storage_dtype is not None and jnp.dtype(storage_dtype) == jnp.int8:
+        if metric not in (DistanceType.L2Expanded, DistanceType.L2SqrtExpanded,
+                          DistanceType.InnerProduct, DistanceType.CosineExpanded):
+            raise ValueError("int8 storage supports L2/IP/cosine metrics only")
+        xf = jnp.asarray(dataset, jnp.float32)
+        q_scale = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-30) / 127.0
+        dataset = jnp.clip(jnp.round(xf / q_scale), -127, 127).astype(jnp.int8)
+    elif storage_dtype is not None:
+        dataset = dataset.astype(storage_dtype)
+    return Index(dataset=dataset, norms=norms, q_scale=q_scale,
+                 metric=metric, metric_arg=metric_arg)
 
 
-def _tile_distances(metric, q, qn, tile, tile_norms, metric_arg, compute_dtype):
-    """Distances between query chunk [B,d] and dataset tile [T,d] -> [B,T]."""
+def _tile_distances(metric, q, qn, tile, tile_norms, metric_arg, compute_dtype,
+                    scale2=None):
+    """Distances between query chunk [B,d] and dataset tile [T,d] -> [B,T].
+
+    ``scale2`` set => q and tile are int8-quantized; dots run on the MXU
+    int8 path (int32 accumulate) and are rescaled by scale2 = q_scale**2.
+    """
+    def dots_of(a, b):
+        if scale2 is None:
+            return pairwise._gemm(a, b, compute_dtype)
+        di = lax.dot_general(
+            a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        return di.astype(jnp.float32) * scale2
+
     if callable(metric) and not isinstance(metric, DistanceType):
         return jnp.asarray(metric(q, tile), jnp.float32)  # CustomUDF
     if metric in (DistanceType.L2Expanded, DistanceType.L2SqrtExpanded):
-        dots = pairwise._gemm(q, tile, compute_dtype)
+        dots = dots_of(q, tile)
         d = qn[:, None] + tile_norms[None, :] - 2.0 * dots
         return jnp.maximum(d, 0.0)  # sqrt deferred to postprocess
     if metric == DistanceType.InnerProduct:
-        return pairwise._gemm(q, tile, compute_dtype)
+        return dots_of(q, tile)
     if metric == DistanceType.CosineExpanded:
-        dots = pairwise._gemm(q, tile, compute_dtype)
+        dots = dots_of(q, tile)
         denom = jnp.maximum(qn[:, None] * tile_norms[None, :], 1e-30)
         return 1.0 - dots / denom
     if metric == DistanceType.BitwiseHamming:
@@ -94,10 +131,11 @@ def _tile_distances(metric, q, qn, tile, tile_norms, metric_arg, compute_dtype):
 )
 def _search_impl(
     dataset, norms, queries, prefilter, k, metric, metric_arg, tile_size, chunk,
-    compute_dtype, recall_target,
+    compute_dtype, recall_target, q_scale=None,
 ):
     n, d = dataset.shape
     nq = queries.shape[0]
+    scale2 = None if q_scale is None else q_scale * q_scale
     is_udf = callable(metric) and not isinstance(metric, DistanceType)
     min_close = is_udf or metric != DistanceType.InnerProduct
 
@@ -119,6 +157,8 @@ def _search_impl(
         qnorms = jnp.zeros((nq,), jnp.float32)
 
     qpad = (-nq) % chunk
+    if q_scale is not None:  # quantize queries with the dataset's scale
+        queries = jnp.clip(jnp.round(qf / q_scale), -127, 127).astype(jnp.int8)
     qp = jnp.pad(queries, ((0, qpad), (0, 0)))
     qnp = jnp.pad(qnorms, ((0, qpad),))
     qidp = jnp.arange(nq + qpad, dtype=jnp.int32)
@@ -126,7 +166,8 @@ def _search_impl(
 
     def block(qc, qn, qid, tile, tnorms, ids):
         """Distances of one [B, tile] block -> per-block top-k."""
-        dist = _tile_distances(metric, qc, qn, tile, tnorms, metric_arg, compute_dtype)
+        dist = _tile_distances(metric, qc, qn, tile, tnorms, metric_arg,
+                               compute_dtype, scale2)
         order = dist if min_close else -dist
         valid = ids[None, :] < n
         mask = filt.passes(prefilter, qid[:, None], jnp.minimum(ids, n - 1)[None, :])
@@ -219,6 +260,7 @@ def search(
     if (
         fused
         and jax.default_backend() == "tpu"  # Pallas compiled mode is TPU-only
+        and index.q_scale is None
         and prefilter.is_none
         and index.metric in (DistanceType.L2Expanded, DistanceType.L2SqrtExpanded,
                              DistanceType.InnerProduct)
@@ -247,4 +289,5 @@ def search(
         query_chunk,
         compute_dtype,
         None if recall_target is None else float(recall_target),
+        index.q_scale,
     )

@@ -72,32 +72,35 @@ def _reverse_graph(graph: jnp.ndarray, rev_degree: int):
     """Reverse edges grouped per head node, best (lowest) rank first.
 
     Returns (rev [n, rev_degree] int32, valid [n, rev_degree] bool).
-    Sort-based grouping replaces the reference's atomic scatter
-    (graph_core.cuh:178).
+
+    Sort-free: a global argsort over all n*D edges is hostile to the TPU
+    (XLA lowers flat mega-sorts to huge bitonic programs that are slow to
+    compile and run). Instead each of the ``rev_degree`` output slots is
+    one scatter-min round: every still-available edge (src -> dst, rank j)
+    offers the key ``j*n + src`` (rank-major, unique) to its head node;
+    the per-node minimum IS the next-best reverse source (``key % n``),
+    exactly matching the (rank, src) lexicographic order of the
+    reference's sorted atomic append (graph_core.cuh:178).
     """
     n, D = graph.shape
-    src = jnp.repeat(jnp.arange(n, dtype=jnp.int32)[:, None], D, axis=1).reshape(-1)
-    dst = graph.reshape(-1)
-    # order all edges by (dst, rank) — edges are already rank-ordered within
-    # each source row and reshape preserves that, so ONE stable sort by dst
-    # yields (dst, src-row-major) order; rank order within a dst group is
-    # whatever stable order the flattened layout had, which ranks earlier
-    # ranks of the same src first. For strict (dst, rank) lexicographic
-    # order use a stable sort on a rank-major flattened view.
-    rank = jnp.tile(jnp.arange(D, dtype=jnp.int32)[None, :], (n, 1)).reshape(-1)
-    o1 = jnp.argsort(rank, stable=True)
-    order = o1[jnp.argsort(dst[o1], stable=True)]
-    dst_s = dst[order]
-    src_s = src[order]
-    first = jnp.concatenate([jnp.array([True]), dst_s[1:] != dst_s[:-1]])
-    group_start_idx = jnp.where(first, jnp.arange(n * D), 0)
-    group_start = jax.lax.associative_scan(jnp.maximum, group_start_idx)
-    slot = jnp.arange(n * D) - group_start
-    keep = slot < rev_degree
-    # out-of-bounds row index for dropped writes => scatter-drop semantics
-    row = jnp.where(keep, dst_s, n).astype(jnp.int32)
-    col = jnp.where(keep, slot, 0).astype(jnp.int32)
-    rev = jnp.full((n, rev_degree), -1, jnp.int32).at[row, col].set(src_s, mode="drop")
+    if n * D >= (1 << 31):
+        raise ValueError("reverse graph too large for int32 keys; shard first")
+    BIG = jnp.int32(2147483647)
+    src = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, D))
+    key0 = jnp.arange(D, dtype=jnp.int32)[None, :] * n + src  # [n, D] unique
+    dst = graph
+
+    def round_fn(avail, _):
+        key = jnp.where(avail, key0, BIG)
+        best = jnp.full((n,), BIG, jnp.int32).at[dst.reshape(-1)].min(key.reshape(-1))
+        win = jnp.logical_and(key == best[dst], key < BIG)
+        rev_src = jnp.where(best < BIG, best % n, -1)
+        return jnp.logical_and(avail, jnp.logical_not(win)), rev_src
+
+    _, rev_t = lax.scan(
+        round_fn, jnp.ones((n, D), bool), None, length=rev_degree
+    )  # [rev_degree, n]
+    rev = rev_t.T
     return rev, rev >= 0
 
 

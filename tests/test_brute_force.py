@@ -96,3 +96,20 @@ def test_half_dataset():
     d, i = brute_force.search(idx, q, 10)
     gtd, gti = naive_knn(q.astype(np.float32), x.astype(np.float32), 10)
     assert calc_recall(np.asarray(i), gti, np.asarray(d), gtd) >= 0.99
+
+
+def test_int8_storage_with_refine():
+    """int8-quantized scan (MXU int8 path) + exact refine ~ exact recall."""
+    import jax.numpy as jnp
+
+    from cuvs_tpu.neighbors import refine
+
+    rng = np.random.default_rng(3)
+    x = make_blobs(rng, 20000, 64, n_centers=50)
+    q = make_blobs(rng, 200, 64, n_centers=50)
+    gtd, gti = naive_knn(q, x, 10)
+    idx8 = brute_force.build(x, storage_dtype=jnp.int8)
+    assert idx8.dataset.dtype == jnp.int8 and idx8.q_scale is not None
+    _, cand = brute_force.search(idx8, q, 40)
+    _, ri = refine.refine(x, q, cand, 10)
+    assert calc_recall(np.asarray(ri), gti) >= 0.99

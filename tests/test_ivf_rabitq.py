@@ -49,13 +49,19 @@ def test_one_bit_works():
 def test_estimator_unbiased():
     """The signed error of the RaBitQ L2 estimate must be centred near 0
     (the whole point of the unbiased estimator — a scalar-quantizer stand-in
-    would have a systematic bias)."""
+    would have a systematic bias).
+
+    Scores EVERY row (k = n): returning only the top-k would condition on
+    low estimates and read as a spurious negative bias (winner's curse).
+    Own RNG so the data is independent of which other tests ran.
+    """
     import jax.numpy as jnp
 
-    x = make_blobs(RNG, 4000, 48)
-    q = make_blobs(RNG, 32, 48)
+    rng = np.random.default_rng(7)
+    x = make_blobs(rng, 4000, 48)
+    q = make_blobs(rng, 32, 48)
     idx = ivf_rabitq.build(x, n_lists=1, bits_per_dim=3, kmeans_n_iters=2, seed=0)
-    d_est, i_est = ivf_rabitq.search(idx, q, 200, n_probes=1,
+    d_est, i_est = ivf_rabitq.search(idx, q, x.shape[0], n_probes=1,
                                      compute_dtype=jnp.float32)
     d_est, i_est = np.asarray(d_est), np.asarray(i_est)
     true = ((q[:, None, :] - x[i_est]) ** 2).sum(-1)
