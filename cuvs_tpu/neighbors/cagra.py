@@ -133,6 +133,176 @@ class CompressedIndex:
         return (self.vq_centers, self.vq_codes, self.pq_codes, self.pq_codebooks)
 
 
+@flax.struct.dataclass
+class PackedIndex:
+    """Gather-optimal CAGRA layout: each node's record bundles its neighbor
+    ids, the neighbors' int8-quantized vectors, and their norms.
+
+    Motivation (measured, docs/benchmarks.md): TPU beam search is bound by
+    the RATE of scattered HBM row gathers, not bytes — expanding one parent
+    in the standard layout costs ``deg`` scattered vector-row fetches, and
+    per-iteration cost saturates at ~4.4 ms for a 4096-query batch
+    regardless of dtype. Packing the child vectors next to the adjacency
+    row turns that into ONE wide row fetch per parent (deg*(d+6) bytes),
+    ~20x fewer rows per iteration. The price is index memory
+    (deg*(d+6) bytes/node, e.g. 4.3 GB at 1M x 128 x deg32) — this mode
+    trades HBM for serving QPS, the inverse of CompressedIndex.
+
+    No reference analog: GPU warps gather cheaply so cuVS never needs this;
+    it is the TPU-native answer to cagra search (search_single_cta_jit.cuh).
+    """
+
+    graph: jnp.ndarray  # [n, deg] int32
+    child_vecs: jnp.ndarray  # [n, deg, d] int8
+    child_norms: jnp.ndarray  # [n, deg] f32 squared norms (f32 exact)
+    dataset_int8: jnp.ndarray  # [n, d] int8 (seed + extend entry points)
+    dataset_norms: jnp.ndarray  # [n] f32
+    scale: jnp.ndarray  # [] f32 int8 quantization scale
+    metric: DistanceType = flax.struct.field(pytree_node=False, default=DistanceType.L2Expanded)
+
+    @property
+    def size(self) -> int:
+        return self.graph.shape[0]
+
+    @property
+    def dim(self) -> int:
+        return self.dataset_int8.shape[1]
+
+    @property
+    def graph_degree(self) -> int:
+        return self.graph.shape[1]
+
+
+def pack(index: Index) -> PackedIndex:
+    """Repack a CAGRA index for gather-optimal serving (see PackedIndex)."""
+    if index.metric not in (DistanceType.L2Expanded, DistanceType.L2SqrtExpanded,
+                            DistanceType.InnerProduct):
+        raise ValueError("packed search supports L2/IP metrics")
+    xf = jnp.asarray(index.dataset, jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-30) / 127.0
+    x8 = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    g = index.graph
+    return PackedIndex(
+        graph=g,
+        child_vecs=x8[g],
+        child_norms=index.dataset_norms[g],
+        dataset_int8=x8,
+        dataset_norms=index.dataset_norms,
+        scale=scale,
+        metric=index.metric,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "itopk", "search_width", "max_iter", "metric", "compute_dtype"),
+)
+def _search_chunk_packed(
+    graph, child_vecs, child_norms, dataset_int8, dataset_norms, scale,
+    queries, qids, prefilter, key, k, itopk, search_width, max_iter,
+    metric, compute_dtype,
+):
+    """Beam search over the packed layout. Same traversal semantics as
+    ``_search_chunk``; candidate vectors come from the PARENT's packed
+    record (one wide gather) instead of per-child dataset rows."""
+    n, deg = graph.shape
+    B = queries.shape[0]
+    L = itopk
+    W = search_width
+    C = W * deg
+    EXPLORED = jnp.int32(1 << 30)
+    ip = metric == DistanceType.InnerProduct
+
+    qf = jnp.asarray(queries, jnp.float32)
+    qnorm = jnp.sum(qf * qf, axis=1)
+    qc = (qf / scale).astype(compute_dtype)  # fold scale into the query side
+
+    def dist_from_dots(dots, norms_rows):
+        # dots are in (query/scale)·(x/scale) units; scale^2 restores them
+        real = dots * (scale * scale)
+        if ip:
+            return -real
+        return jnp.maximum(qnorm[:, None] + norms_rows - 2.0 * real, 0.0)
+
+    # --- seed init from the int8 dataset rows ---
+    seeds = jax.random.randint(key, (B, L), 0, n)
+    svecs = dataset_int8[seeds].astype(compute_dtype)  # [B, L, d]
+    sdots = lax.dot_general(
+        qc[:, None, :], svecs, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=pairwise.matmul_precision(compute_dtype),
+    )[:, 0, :]
+    seed_d = dist_from_dots(sdots, dataset_norms[seeds])
+    eq = seeds[:, :, None] == seeds[:, None, :]
+    earlier = jnp.tril(jnp.ones((L, L), bool), k=-1)
+    seed_d = jnp.where(jnp.any(jnp.logical_and(eq, earlier[None]), axis=2), jnp.inf, seed_d)
+    state_v, state_id = lax.sort((seed_d, seeds), dimension=1, num_keys=1)
+
+    def cond(st):
+        state_v, state_id, it = st
+        unexplored = jnp.logical_and(state_id >= 0, (state_id & EXPLORED) == 0)
+        has_work = jnp.any(jnp.logical_and(unexplored, jnp.isfinite(state_v)))
+        return jnp.logical_and(it < max_iter, has_work)
+
+    def body(st):
+        state_v, state_id, it = st
+        raw_id = state_id & (EXPLORED - 1)
+        unexplored = jnp.logical_and(
+            jnp.logical_and(state_id >= 0, (state_id & EXPLORED) == 0),
+            jnp.isfinite(state_v),
+        )
+        rank = jnp.cumsum(unexplored.astype(jnp.int32), axis=1)
+        sel = jnp.logical_and(unexplored, rank <= W)
+        slot = jnp.where(sel, rank - 1, W)
+        parent_ids = jnp.full((B, W + 1), -1, jnp.int32).at[
+            jnp.arange(B)[:, None], slot
+        ].set(jnp.where(sel, raw_id, -1), mode="drop")[:, :W]
+        parent_valid = parent_ids >= 0
+        state_id = jnp.where(sel, state_id | EXPLORED, state_id)
+
+        safe_p = jnp.where(parent_valid, parent_ids, 0)
+        children = graph[safe_p].reshape(B, C)
+        cvecs = child_vecs[safe_p].astype(compute_dtype).reshape(B, C, -1)
+        cnorms = child_norms[safe_p].reshape(B, C)
+        children = jnp.where(jnp.repeat(parent_valid, deg, axis=1), children, -1)
+
+        dup_itopk = jnp.any(children[:, :, None] == raw_id[:, None, :], axis=2)
+        ceq = children[:, :, None] == children[:, None, :]
+        c_earlier = jnp.tril(jnp.ones((C, C), bool), k=-1)
+        dup_within = jnp.any(jnp.logical_and(ceq, c_earlier[None]), axis=2)
+        invalid = jnp.logical_or(children < 0, jnp.logical_or(dup_itopk, dup_within))
+
+        dots = lax.dot_general(
+            qc[:, None, :], cvecs, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=pairwise.matmul_precision(compute_dtype),
+        )[:, 0, :]
+        cand_d = dist_from_dots(dots, cnorms)
+        cand_d = jnp.where(invalid, jnp.inf, cand_d)
+
+        mv = jnp.concatenate([state_v, cand_d], axis=1)
+        mid = jnp.concatenate([state_id, children], axis=1)
+        sv2, sid2 = lax.sort((mv, mid), dimension=1, num_keys=1)
+        return (sv2[:, :L], sid2[:, :L], it + 1)
+
+    state_v, state_id, _ = lax.while_loop(cond, body, (state_v, state_id, jnp.int32(0)))
+
+    raw_id = state_id & (EXPLORED - 1)
+    out_v = jnp.where(state_id >= 0, state_v, jnp.inf)
+    mask = filt.passes(prefilter, qids[:, None], jnp.maximum(raw_id, 0))
+    if mask is not None:
+        out_v = jnp.where(mask, out_v, jnp.inf)
+        fv, fid = lax.sort((out_v, raw_id), dimension=1, num_keys=1)
+        out_ids, out_d = fid[:, :k], fv[:, :k]
+    else:
+        out_ids, out_d = raw_id[:, :k], out_v[:, :k]
+    if ip:
+        out_d = -out_d
+    if metric == DistanceType.L2SqrtExpanded:
+        out_d = jnp.where(jnp.isfinite(out_d), jnp.sqrt(jnp.maximum(out_d, 0.0)), out_d)
+    return out_d, out_ids
+
+
 def compress(index: Index, vq_n_centers: int = 256, pq_dim: int = 0,
              pq_bits: int = 8, seed: int = 0) -> CompressedIndex:
     """Replace the raw dataset with VPQ codes (cagra compression,
@@ -379,6 +549,7 @@ def search(
 
     chunk = int(min(params.query_chunk, max(8, nq)))
     outs_d, outs_i = [], []
+    packed = isinstance(index, PackedIndex)
     for s in range(0, nq, chunk):
         q = queries[s : s + chunk]
         cur = q.shape[0]
@@ -386,6 +557,28 @@ def search(
             q = jnp.pad(q, ((0, chunk - cur), (0, 0)))
         qids = jnp.arange(s, s + chunk, dtype=jnp.int32)
         qids = jnp.minimum(qids, nq - 1)
+        if packed:
+            d, i = _search_chunk_packed(
+                index.graph,
+                index.child_vecs,
+                index.child_norms,
+                index.dataset_int8,
+                index.dataset_norms,
+                index.scale,
+                q,
+                qids,
+                prefilter,
+                jax.random.fold_in(key, s),
+                int(k),
+                int(itopk),
+                int(params.search_width),
+                int(max_iter),
+                index.metric,
+                params.compute_dtype,
+            )
+            outs_d.append(d[:cur])
+            outs_i.append(i[:cur])
+            continue
         d, i = _search_chunk(
             index.data_pack,
             index.dataset_norms,

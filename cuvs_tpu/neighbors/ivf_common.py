@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional, Tuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -34,11 +36,59 @@ class SortedLists(NamedTuple):
     ids: jnp.ndarray  # [n + W] int32 global row id (0 pad)
 
 
+_COUNTING_SORT_MIN_N = 1 << 22  # flat argsort is fine below ~4M rows
+
+
+@functools.partial(jax.jit, static_argnames=("n_lists", "chunk"))
+def _grouping_order(labels: jnp.ndarray, n_lists: int, chunk: int = 1 << 16):
+    """Stable grouping permutation by label WITHOUT a flat argsort.
+
+    XLA lowers a flat n-element sort to one giant bitonic program — slow to
+    compile and run at 10M+ rows on TPU. Counting sort decomposes into
+    TPU-shaped pieces: per-chunk histograms (scatter-add), cumsum bases,
+    BATCHED row sorts of [n_chunks, chunk] (fast: sorts run along lanes),
+    and one scatter. Exactly equivalent to jnp.argsort(labels, stable).
+    """
+    n = labels.shape[0]
+    nch = -(-n // chunk)
+    P = nch * chunk - n
+    labp = jnp.pad(labels, (0, P), constant_values=n_lists)  # sentinel bucket
+    lab2 = labp.reshape(nch, chunk)
+    hist = jax.vmap(
+        lambda r: jnp.zeros((n_lists + 1,), jnp.int32).at[r].add(1)
+    )(lab2)  # [nch, L+1]
+    total = jnp.sum(hist, axis=0)
+    label_base = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(total)[:-1].astype(jnp.int32)]
+    )
+    chunk_base = jnp.concatenate(
+        [jnp.zeros((1, n_lists + 1), jnp.int32),
+         jnp.cumsum(hist, axis=0)[:-1].astype(jnp.int32)], axis=0
+    )
+    base = label_base[None, :] + chunk_base  # [nch, L+1]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (nch, chunk), 1)
+    sl, sp = lax.sort((lab2, pos), dimension=1, num_keys=1)  # stable row sorts
+    first = jnp.concatenate(
+        [jnp.ones((nch, 1), bool), sl[:, 1:] != sl[:, :-1]], axis=1
+    )
+    gs = jax.lax.associative_scan(jnp.maximum, jnp.where(first, pos, 0), axis=1)
+    rank = pos - gs
+    dest = jnp.take_along_axis(base, sl, axis=1) + rank  # [nch, chunk]
+    orig = sp + jax.lax.broadcasted_iota(jnp.int32, (nch, chunk), 0) * chunk
+    order = jnp.zeros((n,), jnp.int32).at[dest.reshape(-1)].set(
+        orig.reshape(-1), mode="drop"  # sentinel rows land at >= n
+    )
+    return order
+
+
 def sort_by_label(labels: jnp.ndarray, n_lists: int, pad: int):
     """Group rows by label. Returns (order [n], SortedLists with +pad rows)."""
     labels = jnp.asarray(labels, jnp.int32)
     n = labels.shape[0]
-    order = jnp.argsort(labels)
+    if n >= _COUNTING_SORT_MIN_N:
+        order = _grouping_order(labels, n_lists)
+    else:
+        order = jnp.argsort(labels, stable=True)
     sorted_labels = labels[order]
     sizes = jnp.zeros((n_lists,), jnp.int32).at[labels].add(1)
     offsets = jnp.concatenate(

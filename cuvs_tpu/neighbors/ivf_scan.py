@@ -103,8 +103,14 @@ def cluster_major_scan(
     cluster_chunk,
     compute_dtype,
     recall_target,
+    q_scale=None,
 ):
-    """IVF-Flat cluster-major search core. Returns (dists [nq,k], ids)."""
+    """IVF-Flat cluster-major search core. Returns (dists [nq,k], ids).
+
+    ``q_scale`` set => sorted_data is int8-quantized; queries are quantized
+    with the same scale and the block matmul runs on the MXU int8 path
+    (int32 accumulate), rescaled by q_scale**2; norms stay exact f32.
+    """
     nq, d = queries_f32.shape
     n_lists = lists.offsets.shape[0]
     p = probe_ids.shape[1]
@@ -116,7 +122,12 @@ def cluster_major_scan(
     qn = jnp.sum(queries_f32 * queries_f32, axis=1)
     if cosine:
         qn = jnp.sqrt(qn)
-    qc_all = queries_f32.astype(compute_dtype)
+    if q_scale is not None:
+        qc_all = jnp.clip(jnp.round(queries_f32 / q_scale), -127, 127).astype(jnp.int8)
+        scale2 = q_scale * q_scale
+    else:
+        qc_all = queries_f32.astype(compute_dtype)
+        scale2 = None
 
     pad_l = (-n_lists) % cluster_chunk
     qidx_p = jnp.pad(qidx, ((0, pad_l), (0, 0)), constant_values=-1)
@@ -135,13 +146,19 @@ def cluster_major_scan(
 
         safe_q = jnp.maximum(qi, 0)
         qs = qc_all[safe_q]  # [C, M, d]
-        dots = lax.dot_general(
-            qs,
-            data_w.astype(compute_dtype),
-            (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-            precision=pairwise.matmul_precision(compute_dtype),
-        )  # [C, M, W]
+        if scale2 is not None:
+            dots = lax.dot_general(
+                qs, data_w, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * scale2  # [C, M, W]
+        else:
+            dots = lax.dot_general(
+                qs,
+                data_w.astype(compute_dtype),
+                (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+                precision=pairwise.matmul_precision(compute_dtype),
+            )  # [C, M, W]
 
         if ip:
             order = -dots

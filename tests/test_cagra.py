@@ -207,3 +207,39 @@ def test_iterative_build():
     _, i = cagra.search(idx, q, 10, itopk_size=96)
     rec = calc_recall(np.asarray(i), gti)
     assert rec >= 0.8, rec
+
+
+def test_packed_search_parity():
+    """PackedIndex (gather-optimal int8 layout) tracks standard search."""
+    rng = np.random.default_rng(11)
+    x = make_blobs(rng, 15000, 48, n_centers=20)
+    q = make_blobs(rng, 128, 48, n_centers=20)
+    gtd, gti = naive_knn(q, x, 10)
+    ix = cagra.build(x, intermediate_graph_degree=64, graph_degree=32)
+    _, i0 = cagra.search(ix, q, 10, itopk_size=64)
+    pk = cagra.pack(ix)
+    d1, i1 = cagra.search(pk, q, 10, itopk_size=64)
+    r0 = calc_recall(np.asarray(i0), gti)
+    r1 = calc_recall(np.asarray(i1), gti)
+    assert r1 >= r0 - 0.05, (r0, r1)
+    # distances stay near-exact (int8 quantized children, f32 norms)
+    true = ((q[:, None, :] - x[np.asarray(i1)]) ** 2).sum(-1)
+    rel = np.abs(np.asarray(d1) - true) / np.maximum(true, 1e-6)
+    assert np.median(rel) < 0.02
+
+
+def test_packed_search_filtered():
+    rng = np.random.default_rng(12)
+    x = make_blobs(rng, 8000, 32, n_centers=10)
+    q = make_blobs(rng, 64, 32, n_centers=10)
+    ix = cagra.build(x, intermediate_graph_degree=32, graph_degree=16)
+    pk = cagra.pack(ix)
+    removed = np.zeros(8000, bool)
+    removed[::2] = True  # filter out every even id
+    pf = filters.from_mask(~removed)
+    d, i = cagra.search(pk, q, 10, itopk_size=64, prefilter=pf)
+    d, i = np.asarray(d), np.asarray(i)
+    # slots beyond the filtered candidate pool are inf-padded (ids arbitrary)
+    returned = np.isfinite(d)
+    assert not np.any(i[returned] % 2 == 0), "filtered ids returned"
+    assert returned.any()

@@ -97,3 +97,23 @@ def test_ids_are_global_rows():
     idx = ivf_flat.build(x, n_lists=16, seed=0)
     d, i = ivf_flat.search(idx, x[:10], 1, n_probes=16)
     np.testing.assert_array_equal(np.asarray(i).ravel(), np.arange(10))
+
+
+def test_int8_storage():
+    """int8 list storage: MXU int8 scan with exact f32 norms."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    x = make_blobs(rng, 30000, 64, n_centers=64)
+    q = make_blobs(rng, 512, 64, n_centers=64)
+    gtd, gti = naive_knn(q, x, 10)
+    idx = ivf_flat.build(x, n_lists=64, storage_dtype=jnp.int8)
+    assert idx.sorted_data.dtype == jnp.int8 and idx.q_scale is not None
+    for algo in ("cluster_major", "query_major"):
+        _, i = ivf_flat.search(idx, q, 10, n_probes=16, scan_algo=algo)
+        assert calc_recall(np.asarray(i), gti) >= 0.85, algo
+    # extend quantizes with the existing scale
+    idx2 = ivf_flat.extend(idx, x[:100])
+    assert idx2.sorted_data.dtype == jnp.int8
+    _, i = ivf_flat.search(idx2, q, 10, n_probes=16)
+    assert calc_recall(np.asarray(i), gti) >= 0.8

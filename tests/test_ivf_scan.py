@@ -90,3 +90,17 @@ def test_pq_cluster_major_ip():
     d2, i2 = ivf_pq.search(idx, q, 10, n_probes=8, scan_algo="cluster_major")
     match = (np.asarray(i1) == np.asarray(i2)).mean()
     assert match > 0.95, match
+
+
+def test_grouping_order_matches_argsort():
+    """Counting-sort grouping (used above 4M rows) == stable argsort."""
+    import jax.numpy as jnp
+
+    from cuvs_tpu.neighbors.ivf_common import _grouping_order
+
+    rng = np.random.default_rng(0)
+    for n, n_lists in ((100_000, 257), (4097, 5), (50_000, 1)):
+        labels = jnp.asarray(rng.integers(0, n_lists, n).astype(np.int32))
+        got = np.asarray(_grouping_order(labels, n_lists, 1 << 12))
+        exp = np.argsort(np.asarray(labels), kind="stable")
+        assert np.array_equal(got, exp), (n, n_lists)
