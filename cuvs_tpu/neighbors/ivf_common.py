@@ -36,36 +36,49 @@ class SortedLists(NamedTuple):
     ids: jnp.ndarray  # [n + W] int32 global row id (0 pad)
 
 
-_COUNTING_SORT_MIN_N = 1 << 22  # flat argsort is fine below ~4M rows
+# The chunked counting sort below was built to replace flat argsorts at
+# 10M+ rows, but on the current remote-compile toolchain its program
+# (batched row sorts + flat scatters) compiles pathologically slowly,
+# while the flat argsort is measured fine at 10M (ivf_pq build: 188 s
+# total). Disabled by default; CUVS_TPU_COUNTING_SORT=<min_n> opts in.
+# The 100M streaming build (ivf_flat.build_streaming) needs neither — it
+# computes grouped positions host-side per slice.
+import os as _os
+
+_COUNTING_SORT_MIN_N = int(_os.environ.get("CUVS_TPU_COUNTING_SORT", 1 << 62))
 
 
 @functools.partial(jax.jit, static_argnames=("n_lists", "chunk"))
-def _grouping_order(labels: jnp.ndarray, n_lists: int, chunk: int = 1 << 16):
+def _grouping_order(labels: jnp.ndarray, n_lists: int, chunk: int = 1 << 13):
     """Stable grouping permutation by label WITHOUT a flat argsort.
 
     XLA lowers a flat n-element sort to one giant bitonic program — slow to
     compile and run at 10M+ rows on TPU. Counting sort decomposes into
     TPU-shaped pieces: per-chunk histograms (scatter-add), cumsum bases,
-    BATCHED row sorts of [n_chunks, chunk] (fast: sorts run along lanes),
+    BATCHED row sorts of [n_chunks, chunk] (fast: sorts run along lanes;
+    8k-wide rows keep the bitonic program small enough for the compiler),
     and one scatter. Exactly equivalent to jnp.argsort(labels, stable).
     """
     n = labels.shape[0]
     nch = -(-n // chunk)
     P = nch * chunk - n
+    L1 = n_lists + 1
     labp = jnp.pad(labels, (0, P), constant_values=n_lists)  # sentinel bucket
     lab2 = labp.reshape(nch, chunk)
-    hist = jax.vmap(
-        lambda r: jnp.zeros((n_lists + 1,), jnp.int32).at[r].add(1)
-    )(lab2)  # [nch, L+1]
+    chunk_ids = jax.lax.broadcasted_iota(jnp.int32, (nch, chunk), 0)
+    # per-chunk histogram as ONE flat scatter-add keyed by chunk*L1+label
+    # (a vmapped per-row scatter lowers to a program the compiler chokes on)
+    keys = (chunk_ids * L1 + lab2).reshape(-1)
+    hist = jnp.zeros((nch * L1,), jnp.int32).at[keys].add(1).reshape(nch, L1)
     total = jnp.sum(hist, axis=0)
     label_base = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(total)[:-1].astype(jnp.int32)]
     )
     chunk_base = jnp.concatenate(
-        [jnp.zeros((1, n_lists + 1), jnp.int32),
+        [jnp.zeros((1, L1), jnp.int32),
          jnp.cumsum(hist, axis=0)[:-1].astype(jnp.int32)], axis=0
     )
-    base = label_base[None, :] + chunk_base  # [nch, L+1]
+    base = (label_base[None, :] + chunk_base).reshape(-1)  # flat [nch*L1]
     pos = jax.lax.broadcasted_iota(jnp.int32, (nch, chunk), 1)
     sl, sp = lax.sort((lab2, pos), dimension=1, num_keys=1)  # stable row sorts
     first = jnp.concatenate(
@@ -73,10 +86,10 @@ def _grouping_order(labels: jnp.ndarray, n_lists: int, chunk: int = 1 << 16):
     )
     gs = jax.lax.associative_scan(jnp.maximum, jnp.where(first, pos, 0), axis=1)
     rank = pos - gs
-    dest = jnp.take_along_axis(base, sl, axis=1) + rank  # [nch, chunk]
-    orig = sp + jax.lax.broadcasted_iota(jnp.int32, (nch, chunk), 0) * chunk
-    order = jnp.zeros((n,), jnp.int32).at[dest.reshape(-1)].set(
-        orig.reshape(-1), mode="drop"  # sentinel rows land at >= n
+    dest = base[(chunk_ids * L1 + sl).reshape(-1)] + rank.reshape(-1)  # flat gather
+    orig = (sp + chunk_ids * chunk).reshape(-1)
+    order = jnp.zeros((n,), jnp.int32).at[dest].set(
+        orig, mode="drop"  # sentinel rows land at >= n
     )
     return order
 

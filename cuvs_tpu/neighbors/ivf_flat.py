@@ -223,10 +223,12 @@ def build_streaming(
         raise ValueError("build_streaming supports L2/IP metrics")
 
     # ---- pass 0: subsample for training ----
+    # slice_provider may return DEVICE arrays (e.g. generated or staged
+    # on-chip) — only the small subsample ever crosses to the host
     sub = []
     for i in range(n_slices):
-        s = np.asarray(slice_provider(i), np.float32)
-        sub.append(s[:: max(1, s.shape[0] * n_slices // trainset_rows)])
+        s = jnp.asarray(slice_provider(i), jnp.float32)
+        sub.append(np.asarray(s[:: max(1, s.shape[0] * n_slices // trainset_rows)]))
     trainset = np.concatenate(sub, axis=0)[:trainset_rows]
     del sub
     centers = kmeans_balanced.fit(
@@ -244,7 +246,7 @@ def build_streaming(
     labels_h, norms_h = [], []
     amax = 0.0
     for i in range(n_slices):
-        s = jnp.asarray(np.asarray(slice_provider(i), np.float32))
+        s = jnp.asarray(slice_provider(i), jnp.float32)
         labels_h.append(np.asarray(kmeans_balanced.predict(s, centers)))
         norms_h.append(np.asarray(pairwise.row_norms(s)))
         amax = max(amax, float(jnp.max(jnp.abs(s))))
@@ -264,8 +266,11 @@ def build_streaming(
     ids_a = jnp.zeros((n + window,), jnp.int32)
     cursor = np.zeros(n_lists, np.int64)
     row0 = 0
+    quantize = jax.jit(
+        lambda v, sc: jnp.clip(jnp.round(v / sc), -127, 127).astype(jnp.int8)
+    )
     for i in range(n_slices):
-        s = np.asarray(slice_provider(i), np.float32)
+        s = jnp.asarray(slice_provider(i), jnp.float32)
         rows = s.shape[0]
         lab = labels_all[row0 : row0 + rows]
         # final position: list offset + already-filled + stable rank in slice
@@ -277,10 +282,10 @@ def build_streaming(
         rank[order] = np.arange(rows) - starts[grp]
         pos = offsets[lab] + cursor[lab] + rank
         cursor += np.bincount(lab, minlength=n_lists)
-        x8 = np.clip(np.round(s / q_scale), -127, 127).astype(np.int8)
+        x8 = quantize(s, jnp.float32(q_scale))  # on-device quantization
         data, norms_a, labels_a, ids_a = _scatter_slice(
             data, norms_a, labels_a, ids_a,
-            jnp.asarray(x8), jnp.asarray(norms_h[i]),
+            x8, jnp.asarray(norms_h[i]),
             jnp.asarray(lab), jnp.asarray(
                 np.arange(row0, row0 + rows, dtype=np.int32)),
             jnp.asarray(pos.astype(np.int32)),
@@ -486,11 +491,13 @@ def search(
             qf, index.centers, index.center_norms, n_probes, index.metric,
             params.compute_dtype,
         )
-        # size slots to the ACTUAL max occupancy so no pair is dropped
-        M = min(nq, -(-int(ivf_scan.max_occupancy(probe_ids, index.n_lists)) // 8) * 8)
-        budget = 64 * 1024 * 1024 // 4
-        chunk = max(1, min(index.n_lists, budget // max(M * index.window, 1)))
-        return ivf_scan.cluster_major_scan(
+        # fixed-width pair tiles: padding bounded by one partial tile per
+        # active cluster, no host-side occupancy sync
+        M = int(min(128, max(8, nq)))
+        n_tiles = nq * n_probes // M + min(index.n_lists, nq * n_probes) + 1
+        budget = 256 * 1024 * 1024 // 4
+        chunk = max(1, min(n_tiles, budget // max(M * index.window, 1)))
+        return ivf_scan.cluster_major_scan_tiled(
             index.sorted_data,
             index.sorted_norms,
             index.lists,
@@ -500,10 +507,11 @@ def search(
             int(k),
             index.metric,
             index.window,
-            int(M),
+            M,
             int(chunk),
             params.compute_dtype,
             None if params.recall_target is None else float(params.recall_target),
+            int(n_tiles),
             index.q_scale,
         )
     return _search_impl(

@@ -82,6 +82,54 @@ def group_pairs(probe_ids: jnp.ndarray, n_lists: int, max_per_cluster: int):
     return qidx, pair_slot.reshape(nq, p)
 
 
+@functools.partial(jax.jit, static_argnames=("n_lists", "m_tile", "n_tiles"))
+def group_pairs_tiled(probe_ids: jnp.ndarray, n_lists: int, m_tile: int,
+                      n_tiles: int):
+    """Group (query, probe) pairs by cluster into FIXED-width tiles.
+
+    ``group_pairs`` sizes every cluster's slot axis to the global max
+    occupancy — on skewed probe distributions that pads the batched matmul
+    ~8x (measured at 10M/4096 lists). Here a cluster with occupancy c gets
+    ceil(c/m_tile) tiles of exactly m_tile slots, so padding is bounded by
+    one partial tile per active cluster, and no host-side occupancy sync
+    is needed (n_tiles = pairs//m_tile + n_lists is a static bound).
+
+    Returns:
+      tile_cluster: [n_tiles] cluster id per tile (-1 = empty)
+      qidx:        [n_tiles, m_tile] query index per slot (-1 = empty)
+      pair_tile:   [nq, p] tile of each pair
+      pair_slot:   [nq, p] slot of each pair within its tile
+    """
+    nq, p = probe_ids.shape
+    flat_c = probe_ids.reshape(-1)
+    flat_q = jnp.repeat(jnp.arange(nq, dtype=jnp.int32), p)
+    order = jnp.argsort(flat_c, stable=True)
+    c_s = flat_c[order]
+    q_s = flat_q[order]
+    first = jnp.concatenate([jnp.array([True]), c_s[1:] != c_s[:-1]])
+    idx = jnp.arange(nq * p, dtype=jnp.int32)
+    group_start = lax.associative_scan(jnp.maximum, jnp.where(first, idx, 0))
+    rank = idx - group_start
+    occ = jnp.zeros((n_lists,), jnp.int32).at[flat_c].add(1)
+    ntiles_c = -(-occ // m_tile)
+    tile_base = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(ntiles_c)[:-1].astype(jnp.int32)]
+    )
+    tile_idx = tile_base[c_s] + rank // m_tile
+    slot = rank % m_tile
+    keep = tile_idx < n_tiles  # static bound; only drops on pathological input
+    row = jnp.where(keep, tile_idx, n_tiles)
+    tile_cluster = jnp.full((n_tiles,), -1, jnp.int32).at[row].set(c_s, mode="drop")
+    qidx = jnp.full((n_tiles, m_tile), -1, jnp.int32).at[
+        row, jnp.where(keep, slot, 0)
+    ].set(q_s, mode="drop")
+    pair_tile = jnp.zeros((nq * p,), jnp.int32).at[order].set(
+        jnp.where(keep, tile_idx, n_tiles)
+    )
+    pair_slot = jnp.zeros((nq * p,), jnp.int32).at[order].set(slot)
+    return tile_cluster, qidx, pair_tile.reshape(nq, p), pair_slot.reshape(nq, p)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -203,6 +251,133 @@ def cluster_major_scan(
     pool_i = pi.reshape(nq, p * kk)
     fv, fl = topk(pool_v, k, True, None)
     fi = jnp.take_along_axis(pool_i, fl, axis=1)
+    if ip:
+        fv = -fv
+    fv = ivf.postprocess_distances(fv, metric)
+    return fv, fi
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "metric", "window", "m_tile", "cluster_chunk",
+        "compute_dtype", "recall_target", "n_tiles",
+    ),
+)
+def cluster_major_scan_tiled(
+    sorted_data,
+    sorted_norms,
+    lists,
+    queries_f32,
+    probe_ids,
+    prefilter,
+    k,
+    metric,
+    window,
+    m_tile,
+    cluster_chunk,
+    compute_dtype,
+    recall_target,
+    n_tiles,
+    q_scale=None,
+):
+    """IVF-Flat cluster-major search over fixed-width pair tiles.
+
+    Same math as ``cluster_major_scan`` but grouped by ``group_pairs_tiled``
+    (bounded padding, no host sync; see its docstring). ``q_scale`` set =>
+    int8 data + quantized queries on the MXU int8 path.
+    """
+    nq, d = queries_f32.shape
+    p = probe_ids.shape[1]
+    n_lists = lists.offsets.shape[0]
+    M = m_tile
+    ip = metric == DistanceType.InnerProduct
+    cosine = metric == DistanceType.CosineExpanded
+
+    tile_cluster, qidx, pair_tile, pair_slot = group_pairs_tiled(
+        probe_ids, n_lists, M, n_tiles
+    )
+    qn = jnp.sum(queries_f32 * queries_f32, axis=1)
+    if cosine:
+        qn = jnp.sqrt(qn)
+    if q_scale is not None:
+        qc_all = jnp.clip(jnp.round(queries_f32 / q_scale), -127, 127).astype(jnp.int8)
+        scale2 = q_scale * q_scale
+    else:
+        qc_all = queries_f32.astype(compute_dtype)
+        scale2 = None
+
+    pad_t = (-n_tiles) % cluster_chunk
+    qidx_p = jnp.pad(qidx, ((0, pad_t), (0, 0)), constant_values=-1)
+    tc_p = jnp.pad(tile_cluster, (0, pad_t), constant_values=-1)
+    kk = min(k, window)
+
+    def chunk_fn(args):
+        qi, cl = args  # [C, M], [C] cluster per tile (-1 empty)
+        C = qi.shape[0]
+        safe_c = jnp.clip(cl, 0, n_lists - 1)
+        starts = lists.offsets[safe_c]
+        data_w = ivf.window_gather(sorted_data, starts, window)  # [C, W, d]
+        ids_w = ivf.window_gather(lists.ids, starts, window)
+        lab_w = ivf.window_gather(lists.labels, starts, window)
+        norm_w = ivf.window_gather(sorted_norms, starts, window)
+
+        safe_q = jnp.maximum(qi, 0)
+        qs = qc_all[safe_q]  # [C, M, d]
+        if scale2 is not None:
+            dots = lax.dot_general(
+                qs, data_w, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * scale2
+        else:
+            dots = lax.dot_general(
+                qs,
+                data_w.astype(compute_dtype),
+                (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+                precision=pairwise.matmul_precision(compute_dtype),
+            )  # [C, M, W]
+
+        if ip:
+            order = -dots
+        elif cosine:
+            denom = jnp.maximum(
+                qn[safe_q][:, :, None] * jnp.sqrt(norm_w)[:, None, :], 1e-30
+            )
+            order = 1.0 - dots / denom
+        else:
+            order = jnp.maximum(
+                qn[safe_q][:, :, None] + norm_w[:, None, :] - 2.0 * dots, 0.0
+            )
+
+        valid = (lab_w == safe_c[:, None])[:, None, :]  # [C, 1, W]
+        valid = jnp.logical_and(valid, (qi >= 0)[:, :, None])
+        mask = filt.passes(prefilter, safe_q[:, :, None], ids_w[:, None, :])
+        if mask is not None:
+            valid = jnp.logical_and(valid, mask)
+        order = jnp.where(valid, order, jnp.inf)
+
+        o2 = order.reshape(C * M, window)
+        tv, tl = topk(o2, kk, True, recall_target)
+        ti = jnp.take_along_axis(
+            jnp.repeat(ids_w, M, axis=0).reshape(C * M, window), tl, axis=1
+        )
+        return tv.reshape(C, M, kk), ti.reshape(C, M, kk)
+
+    tv, ti = lax.map(
+        chunk_fn,
+        (qidx_p.reshape(-1, cluster_chunk, M), tc_p.reshape(-1, cluster_chunk)),
+    )
+    tv = tv.reshape(n_tiles + pad_t, M, kk)[:n_tiles]
+    ti = ti.reshape(n_tiles + pad_t, M, kk)[:n_tiles]
+    # one extra tile row: dropped pairs (pair_tile == n_tiles) land there
+    tv = jnp.pad(tv, ((0, 1), (0, 0), (0, 0)), constant_values=jnp.inf)
+    ti = jnp.pad(ti, ((0, 1), (0, 0), (0, 0)))
+
+    pv = tv[pair_tile, pair_slot]  # [nq, p, kk]
+    pi = ti[pair_tile, pair_slot]
+    fv, fl = topk(pv.reshape(nq, p * kk), k, True, None)
+    fi = jnp.take_along_axis(pi.reshape(nq, p * kk), fl, axis=1)
     if ip:
         fv = -fv
     fv = ivf.postprocess_distances(fv, metric)
