@@ -117,15 +117,22 @@ def _pack(dataset, ids, labels, centers, metric, n_lists, adaptive,
     # rows are quantized)
     if norms is None:
         norms = pairwise.row_norms(dataset)
-    rows = dataset[order]
     if storage_dtype is not None and jnp.dtype(storage_dtype) == jnp.int8 \
             and dataset.dtype != jnp.int8:
-        rf = jnp.asarray(rows, jnp.float32)
+        # quantize BEFORE reordering: the gather then moves int8 rows, not
+        # a second f32 copy (at 10M x 96 the f32 reorder transient OOMs)
         if q_scale is None:
-            q_scale = jnp.maximum(jnp.max(jnp.abs(rf)), 1e-30) / 127.0
-        rows = jnp.clip(jnp.round(rf / q_scale), -127, 127).astype(jnp.int8)
+            q_scale = jnp.maximum(
+                jnp.max(jnp.abs(jnp.asarray(dataset, jnp.float32))), 1e-30
+            ) / 127.0
+        x8 = jnp.clip(
+            jnp.round(jnp.asarray(dataset, jnp.float32) / q_scale), -127, 127
+        ).astype(jnp.int8)
+        rows = x8[order]
     elif storage_dtype is not None:
-        rows = rows.astype(storage_dtype)
+        rows = dataset[order].astype(storage_dtype)
+    else:
+        rows = dataset[order]
     sorted_data = jnp.concatenate(
         [rows, jnp.zeros((window, rows.shape[1]), rows.dtype)], axis=0
     )

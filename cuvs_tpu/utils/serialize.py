@@ -93,6 +93,7 @@ def _builders():
         return brute_force.Index(
             dataset=a[".dataset"],
             norms=a.get(".norms"),
+            q_scale=a.get(".q_scale"),
             metric=DistanceType(s["metric"]),
             metric_arg=s["metric_arg"],
         )
@@ -104,6 +105,7 @@ def _builders():
             sorted_data=a[".sorted_data"],
             sorted_norms=a[".sorted_norms"],
             lists=_build_ivf_lists(a, ".lists"),
+            q_scale=a.get(".q_scale"),
             metric=DistanceType(s["metric"]),
             window=s["window"],
             n_rows=s["n_rows"],
@@ -132,6 +134,17 @@ def _builders():
             dataset=a[".dataset"],
             dataset_norms=a[".dataset_norms"],
             graph=a[".graph"],
+            metric=DistanceType(s["metric"]),
+        )
+
+    def build_cagra_packed(a, s):
+        return cagra.PackedIndex(
+            graph=a[".graph"],
+            child_vecs=a[".child_vecs"],
+            child_norms=a[".child_norms"],
+            dataset_int8=a[".dataset_int8"],
+            dataset_norms=a[".dataset_norms"],
+            scale=a[".scale"],
             metric=DistanceType(s["metric"]),
         )
 
@@ -184,6 +197,7 @@ def _builders():
         "ivf_rabitq": build_ivf_rabitq,
         "cagra": build_cagra,
         "cagra.CompressedIndex": build_cagra_compressed,
+        "cagra.PackedIndex": build_cagra_packed,
     }
 
 

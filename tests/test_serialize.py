@@ -135,3 +135,29 @@ def test_newer_version_rejected(tmp_path):
     np.savez(p, __header__=np.frombuffer(json.dumps(hdr).encode(), np.uint8))
     with pytest.raises(ValueError, match="version"):
         serialize.load(str(p))
+
+
+def test_int8_and_packed_roundtrip(tmp_path):
+    """New kinds: int8 brute_force / ivf_flat (q_scale) + packed CAGRA."""
+    import jax.numpy as jnp
+
+    from cuvs_tpu.neighbors import brute_force, cagra, ivf_flat
+
+    rng = np.random.default_rng(1)
+    x = make_blobs(rng, 5000, 32)
+    q = make_blobs(rng, 32, 32)
+    for idx in (
+        brute_force.build(x, storage_dtype=jnp.int8),
+        ivf_flat.build(x, n_lists=16, storage_dtype=jnp.int8),
+        cagra.pack(cagra.build(x, intermediate_graph_degree=32, graph_degree=16)),
+    ):
+        kind = serialize.kind_of(idx)
+        p = str(tmp_path / kind)
+        serialize.save(p, idx)
+        back = serialize.load(p)
+        assert type(back) is type(idx)
+        mod = {"brute_force": brute_force, "ivf_flat": ivf_flat,
+               "cagra.PackedIndex": cagra}[kind]
+        d0, i0 = mod.search(idx, q, 5)
+        d1, i1 = mod.search(back, q, 5)
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
