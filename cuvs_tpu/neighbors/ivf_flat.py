@@ -186,18 +186,6 @@ def build(dataset, params: Optional[IndexParams] = None, **kw) -> Index:
                  params.adaptive_centers, params.storage_dtype)
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
-def _scatter_slice(data, norms_a, labels_a, ids_a, rows_i8, norms_s, labels_s,
-                   ids_s, pos):
-    """Place one quantized slice at its final sorted positions (donated
-    buffers: the big int8 array is updated in place, never copied)."""
-    data = data.at[pos].set(rows_i8)
-    norms_a = norms_a.at[pos].set(norms_s)
-    labels_a = labels_a.at[pos].set(labels_s)
-    ids_a = ids_a.at[pos].set(ids_s)
-    return data, norms_a, labels_a, ids_a
-
-
 def build_streaming(
     slice_provider,
     n_slices: int,
@@ -209,18 +197,23 @@ def build_streaming(
 ) -> Index:
     """Out-of-HBM-source IVF-Flat build with int8 list storage.
 
-    For datasets whose f32 form exceeds HBM (e.g. DEEP-100M: 38 GB f32,
-    9.6 GB int8): the device only ever holds the final int8 index plus ONE
-    f32 slice. Reference analog: sharded SNMG build + conservative list
-    allocation (snmg.cuh:127-166, ivf_flat.hpp conservative_memory) — the
-    TPU-native equivalent packs the whole index into one chip's HBM by
-    quantized storage instead of sharding.
+    For datasets whose f32 form exceeds HBM (DEEP-100M: 38 GB f32 vs a
+    9.6 GB int8 index): the device only ever holds the final index plus
+    one bf16 slice. Reference analog: sharded SNMG build + conservative
+    list allocation (snmg.cuh:127-166) — the TPU-native equivalent packs
+    the whole index into one chip's HBM via quantized storage.
 
-    Two passes over ``slice_provider(i) -> [rows_i, d] float array``:
-      1. subsample -> balanced-kmeans centers; per-slice labels, norms and
-         the global quantization scale (host-side bookkeeping only);
-      2. per-slice quantize + scatter rows straight into their final
-         grouped positions (donated in-place updates; no transpose copy).
+    ``slice_provider(i) -> [rows, d] float32 HOST array`` (numpy; called
+    up to 3x per slice — re-read/regenerate, don't cache). Passes:
+      0. strided subsample -> balanced-kmeans centers (on device);
+      1. per-slice labels (bf16 slice upload + device predict; uploads
+         are fast on the axon tunnel, downloads are not — only the 4B/row
+         labels come back), norms and the global scale on the host;
+      2. host-side quantize + counting-scatter into final grouped
+         positions, then ONE device_put per final array. Device-side
+         incremental scatter is deliberately avoided: the remote
+         backend compiles multi-array scatter-into-donated-buffer
+         programs with full copies (measured 22 GB for a 10 GB index).
     """
     import numpy as np
 
@@ -230,12 +223,10 @@ def build_streaming(
         raise ValueError("build_streaming supports L2/IP metrics")
 
     # ---- pass 0: subsample for training ----
-    # slice_provider may return DEVICE arrays (e.g. generated or staged
-    # on-chip) — only the small subsample ever crosses to the host
     sub = []
     for i in range(n_slices):
-        s = jnp.asarray(slice_provider(i), jnp.float32)
-        sub.append(np.asarray(s[:: max(1, s.shape[0] * n_slices // trainset_rows)]))
+        sl = np.asarray(slice_provider(i), np.float32)
+        sub.append(sl[:: max(1, sl.shape[0] * n_slices // trainset_rows)])
     trainset = np.concatenate(sub, axis=0)[:trainset_rows]
     del sub
     centers = kmeans_balanced.fit(
@@ -253,10 +244,11 @@ def build_streaming(
     labels_h, norms_h = [], []
     amax = 0.0
     for i in range(n_slices):
-        s = jnp.asarray(slice_provider(i), jnp.float32)
-        labels_h.append(np.asarray(kmeans_balanced.predict(s, centers)))
-        norms_h.append(np.asarray(pairwise.row_norms(s)))
-        amax = max(amax, float(jnp.max(jnp.abs(s))))
+        sl = np.asarray(slice_provider(i), np.float32)
+        up = jnp.asarray(sl, jnp.bfloat16)  # host-side bf16 cast, 2 B/el upload
+        labels_h.append(np.asarray(kmeans_balanced.predict(up, centers)))
+        norms_h.append(np.sum(sl.astype(np.float64) * sl, axis=1).astype(np.float32))
+        amax = max(amax, float(np.max(np.abs(sl))))
     labels_all = np.concatenate(labels_h)
     n = labels_all.shape[0]
     d = int(centers.shape[1])
@@ -266,51 +258,42 @@ def build_streaming(
     offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int64)
     window = ivf.round_window(int(sizes.max()))
 
-    # ---- pass 2: quantize + scatter into final grouped positions ----
-    data = jnp.zeros((n + window, d), jnp.int8)
-    norms_a = jnp.zeros((n + window,), jnp.float32)
-    labels_a = jnp.full((n + window,), -1, jnp.int32)
-    ids_a = jnp.zeros((n + window,), jnp.int32)
+    # ---- pass 2: host-side quantize + grouped placement ----
+    data_h = np.zeros((n + window, d), np.int8)
+    norms_h2 = np.zeros((n + window,), np.float32)
+    labels_a = np.full((n + window,), -1, np.int32)
+    ids_a = np.zeros((n + window,), np.int32)
     cursor = np.zeros(n_lists, np.int64)
     row0 = 0
-    quantize = jax.jit(
-        lambda v, sc: jnp.clip(jnp.round(v / sc), -127, 127).astype(jnp.int8)
-    )
     for i in range(n_slices):
-        s = jnp.asarray(slice_provider(i), jnp.float32)
-        rows = s.shape[0]
+        sl = np.asarray(slice_provider(i), np.float32)
+        rows = sl.shape[0]
         lab = labels_all[row0 : row0 + rows]
-        # final position: list offset + already-filled + stable rank in slice
         order = np.argsort(lab, kind="stable")
         rank = np.empty(rows, np.int64)
-        sl = lab[order]
-        starts = np.concatenate([[0], np.flatnonzero(sl[1:] != sl[:-1]) + 1])
+        so = lab[order]
+        starts = np.concatenate([[0], np.flatnonzero(so[1:] != so[:-1]) + 1])
         grp = np.repeat(np.arange(len(starts)), np.diff(np.concatenate([starts, [rows]])))
         rank[order] = np.arange(rows) - starts[grp]
         pos = offsets[lab] + cursor[lab] + rank
         cursor += np.bincount(lab, minlength=n_lists)
-        x8 = quantize(s, jnp.float32(q_scale))  # on-device quantization
-        data, norms_a, labels_a, ids_a = _scatter_slice(
-            data, norms_a, labels_a, ids_a,
-            x8, jnp.asarray(norms_h[i]),
-            jnp.asarray(lab), jnp.asarray(
-                np.arange(row0, row0 + rows, dtype=np.int32)),
-            jnp.asarray(pos.astype(np.int32)),
-        )
+        data_h[pos] = np.clip(np.round(sl / q_scale), -127, 127).astype(np.int8)
+        norms_h2[pos] = norms_h[i]
+        labels_a[pos] = lab
+        ids_a[pos] = np.arange(row0, row0 + rows, dtype=np.int32)
         row0 += rows
-    jax.block_until_ready(data)
 
     lists = ivf.SortedLists(
-        offsets=jnp.asarray(offsets.astype(np.int32)),
-        sizes=jnp.asarray(sizes),
-        labels=labels_a,
-        ids=ids_a,
+        offsets=jax.device_put(offsets.astype(np.int32)),
+        sizes=jax.device_put(sizes),
+        labels=jax.device_put(labels_a),
+        ids=jax.device_put(ids_a),
     )
     return Index(
         centers=centers,
         center_norms=cn,
-        sorted_data=data,
-        sorted_norms=norms_a,
+        sorted_data=jax.device_put(data_h),
+        sorted_norms=jax.device_put(norms_h2),
         lists=lists,
         q_scale=jnp.float32(q_scale),
         metric=metric,
