@@ -186,6 +186,20 @@ def build(dataset, params: Optional[IndexParams] = None, **kw) -> Index:
                  params.adaptive_centers, params.storage_dtype)
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_rows(buf, rows, pos):
+    """In-place donated row scatter. The row width MUST be lane-aligned
+    (multiple of 128 for int8): otherwise XLA inserts a full-buffer layout
+    copy that defeats donation (measured: 22 GB transient for a 10 GB
+    index at d=96; 0 extra at d=128)."""
+    return buf.at[pos].set(rows)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_vec(buf, vals, pos):
+    return buf.at[pos].set(vals)
+
+
 def build_streaming(
     slice_provider,
     n_slices: int,
@@ -194,26 +208,30 @@ def build_streaming(
     trainset_rows: int = 2_000_000,
     kmeans_n_iters: int = 10,
     seed: int = 0,
+    align_dim: bool = True,
 ) -> Index:
     """Out-of-HBM-source IVF-Flat build with int8 list storage.
 
     For datasets whose f32 form exceeds HBM (DEEP-100M: 38 GB f32 vs a
-    9.6 GB int8 index): the device only ever holds the final index plus
-    one bf16 slice. Reference analog: sharded SNMG build + conservative
-    list allocation (snmg.cuh:127-166) — the TPU-native equivalent packs
-    the whole index into one chip's HBM via quantized storage.
+    ~12.8 GB lane-aligned int8 index): the device only ever holds the
+    final index plus one slice. Reference analog: sharded SNMG build +
+    conservative list allocation (snmg.cuh:127-166) — the TPU-native
+    equivalent packs the whole index into one chip's HBM via quantized
+    storage.
 
-    ``slice_provider(i) -> [rows, d] float32 HOST array`` (numpy; called
-    up to 3x per slice — re-read/regenerate, don't cache). Passes:
-      0. strided subsample -> balanced-kmeans centers (on device);
-      1. per-slice labels (bf16 slice upload + device predict; uploads
-         are fast on the axon tunnel, downloads are not — only the 4B/row
-         labels come back), norms and the global scale on the host;
-      2. host-side quantize + counting-scatter into final grouped
-         positions, then ONE device_put per final array. Device-side
-         incremental scatter is deliberately avoided: the remote
-         backend compiles multi-array scatter-into-donated-buffer
-         programs with full copies (measured 22 GB for a 10 GB index).
+    ``slice_provider(i) -> [rows, d]`` float array, called up to 3x per
+    slice (re-read/regenerate, don't cache). Two modes, picked by where
+    the provider's arrays live:
+
+    * DEVICE arrays (``jax.Array``, e.g. generated on-chip or staged):
+      labels/norms/scale computed on device; only 4 B/row labels + norms
+      cross to the host (the axon tunnel downloads at ~5 MB/s); rows are
+      quantized on device and scattered straight into the donated final
+      buffer (``align_dim`` pads the row width to the next 128 multiple
+      so the scatter is truly in-place — see _scatter_rows).
+    * HOST numpy arrays: labels via fast bf16 uploads + device predict;
+      quantize + grouped placement on the host; one device_put per final
+      array.
     """
     import numpy as np
 
@@ -222,15 +240,27 @@ def build_streaming(
                       DistanceType.InnerProduct):
         raise ValueError("build_streaming supports L2/IP metrics")
 
+    first = slice_provider(0)
+    device_mode = isinstance(first, jax.Array)
+    d = int(first.shape[1])
+    dp = (-(-d // 128) * 128) if (align_dim and device_mode) else d
+
     # ---- pass 0: subsample for training ----
-    sub = []
-    for i in range(n_slices):
-        sl = np.asarray(slice_provider(i), np.float32)
-        sub.append(sl[:: max(1, sl.shape[0] * n_slices // trainset_rows)])
-    trainset = np.concatenate(sub, axis=0)[:trainset_rows]
+    if device_mode:
+        sub = []
+        for i in range(n_slices):
+            sl = slice_provider(i)
+            sub.append(sl[:: max(1, sl.shape[0] * n_slices // trainset_rows)])
+        trainset = jnp.concatenate(sub, axis=0)[:trainset_rows]
+    else:
+        sub = []
+        for i in range(n_slices):
+            sl = np.asarray(slice_provider(i), np.float32)
+            sub.append(sl[:: max(1, sl.shape[0] * n_slices // trainset_rows)])
+        trainset = jnp.asarray(np.concatenate(sub, axis=0)[:trainset_rows])
     del sub
     centers = kmeans_balanced.fit(
-        jnp.asarray(trainset),
+        trainset,
         n_lists,
         kmeans_balanced.BalancedParams(
             n_clusters=n_lists, n_iters=kmeans_n_iters,
@@ -244,56 +274,99 @@ def build_streaming(
     labels_h, norms_h = [], []
     amax = 0.0
     for i in range(n_slices):
-        sl = np.asarray(slice_provider(i), np.float32)
-        up = jnp.asarray(sl, jnp.bfloat16)  # host-side bf16 cast, 2 B/el upload
-        labels_h.append(np.asarray(kmeans_balanced.predict(up, centers)))
-        norms_h.append(np.sum(sl.astype(np.float64) * sl, axis=1).astype(np.float32))
-        amax = max(amax, float(np.max(np.abs(sl))))
+        if device_mode:
+            sl = jnp.asarray(slice_provider(i), jnp.float32)
+            labels_h.append(np.asarray(kmeans_balanced.predict(sl, centers)))
+            norms_h.append(np.asarray(pairwise.row_norms(sl)))
+            amax = max(amax, float(jnp.max(jnp.abs(sl))))
+        else:
+            sl = np.asarray(slice_provider(i), np.float32)
+            # upload f32 and cast on device: a host-side ml_dtypes bf16
+            # conversion is ~40 s per 2M x 96 slice on one core, the f32
+            # upload is ~0.7 s on this tunnel
+            up = jax.device_put(sl).astype(jnp.bfloat16)
+            labels_h.append(np.asarray(kmeans_balanced.predict(up, centers)))
+            norms_h.append(np.einsum("ij,ij->i", sl, sl, dtype=np.float32))
+            amax = max(amax, float(np.max(np.abs(sl))))
     labels_all = np.concatenate(labels_h)
     n = labels_all.shape[0]
-    d = int(centers.shape[1])
     q_scale = max(amax, 1e-30) / 127.0
 
     sizes = np.bincount(labels_all, minlength=n_lists).astype(np.int32)
     offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int64)
     window = ivf.round_window(int(sizes.max()))
 
-    # ---- pass 2: host-side quantize + grouped placement ----
-    data_h = np.zeros((n + window, d), np.int8)
-    norms_h2 = np.zeros((n + window,), np.float32)
-    labels_a = np.full((n + window,), -1, np.int32)
-    ids_a = np.zeros((n + window,), np.int32)
-    cursor = np.zeros(n_lists, np.int64)
-    row0 = 0
-    for i in range(n_slices):
-        sl = np.asarray(slice_provider(i), np.float32)
-        rows = sl.shape[0]
+    def slice_positions(i, row0, cursor):
+        rows = len(labels_h[i])
         lab = labels_all[row0 : row0 + rows]
         order = np.argsort(lab, kind="stable")
         rank = np.empty(rows, np.int64)
         so = lab[order]
         starts = np.concatenate([[0], np.flatnonzero(so[1:] != so[:-1]) + 1])
-        grp = np.repeat(np.arange(len(starts)), np.diff(np.concatenate([starts, [rows]])))
+        grp = np.repeat(np.arange(len(starts)),
+                        np.diff(np.concatenate([starts, [rows]])))
         rank[order] = np.arange(rows) - starts[grp]
         pos = offsets[lab] + cursor[lab] + rank
         cursor += np.bincount(lab, minlength=n_lists)
-        data_h[pos] = np.clip(np.round(sl / q_scale), -127, 127).astype(np.int8)
-        norms_h2[pos] = norms_h[i]
-        labels_a[pos] = lab
-        ids_a[pos] = np.arange(row0, row0 + rows, dtype=np.int32)
-        row0 += rows
+        return lab, pos, rows
 
-    lists = ivf.SortedLists(
-        offsets=jax.device_put(offsets.astype(np.int32)),
-        sizes=jax.device_put(sizes),
-        labels=jax.device_put(labels_a),
-        ids=jax.device_put(ids_a),
-    )
+    # ---- pass 2: quantize + grouped placement ----
+    cursor = np.zeros(n_lists, np.int64)
+    row0 = 0
+    if device_mode:
+        quantize = jax.jit(
+            lambda v, sc: jnp.pad(
+                jnp.clip(jnp.round(v / sc), -127, 127), ((0, 0), (0, dp - d))
+            ).astype(jnp.int8)
+        )
+        data = jnp.zeros((n + window, dp), jnp.int8)
+        norms_a = jnp.zeros((n + window,), jnp.float32)
+        labels_a = jnp.full((n + window,), -1, jnp.int32)
+        ids_a = jnp.zeros((n + window,), jnp.int32)
+        scj = jnp.float32(q_scale)
+        for i in range(n_slices):
+            sl = jnp.asarray(slice_provider(i), jnp.float32)
+            lab, pos, rows = slice_positions(i, row0, cursor)
+            posd = jnp.asarray(pos.astype(np.int32))
+            data = _scatter_rows(data, quantize(sl, scj), posd)
+            norms_a = _scatter_vec(norms_a, jnp.asarray(norms_h[i]), posd)
+            labels_a = _scatter_vec(labels_a, jnp.asarray(lab), posd)
+            ids_a = _scatter_vec(
+                ids_a, jnp.arange(row0, row0 + rows, dtype=jnp.int32), posd)
+            row0 += rows
+        jax.block_until_ready(data)
+        lists = ivf.SortedLists(
+            offsets=jnp.asarray(offsets.astype(np.int32)),
+            sizes=jnp.asarray(sizes), labels=labels_a, ids=ids_a,
+        )
+        sorted_data, sorted_norms = data, norms_a
+    else:
+        data_h = np.zeros((n + window, d), np.int8)
+        norms_h2 = np.zeros((n + window,), np.float32)
+        labels_ah = np.full((n + window,), -1, np.int32)
+        ids_ah = np.zeros((n + window,), np.int32)
+        for i in range(n_slices):
+            sl = np.asarray(slice_provider(i), np.float32)
+            lab, pos, rows = slice_positions(i, row0, cursor)
+            data_h[pos] = np.clip(np.round(sl / q_scale), -127, 127).astype(np.int8)
+            norms_h2[pos] = norms_h[i]
+            labels_ah[pos] = lab
+            ids_ah[pos] = np.arange(row0, row0 + rows, dtype=np.int32)
+            row0 += rows
+        lists = ivf.SortedLists(
+            offsets=jax.device_put(offsets.astype(np.int32)),
+            sizes=jax.device_put(sizes),
+            labels=jax.device_put(labels_ah),
+            ids=jax.device_put(ids_ah),
+        )
+        sorted_data = jax.device_put(data_h)
+        sorted_norms = jax.device_put(norms_h2)
+
     return Index(
         centers=centers,
         center_norms=cn,
-        sorted_data=jax.device_put(data_h),
-        sorted_norms=jax.device_put(norms_h2),
+        sorted_data=sorted_data,
+        sorted_norms=sorted_norms,
         lists=lists,
         q_scale=jnp.float32(q_scale),
         metric=metric,
@@ -376,11 +449,13 @@ def _search_impl(
         qnorm = jnp.sum(qf * qf, axis=1)
     qid = jnp.arange(nq, dtype=jnp.int32)
 
+    dp = sorted_data.shape[1]
+    qp_f = jnp.pad(qf, ((0, 0), (0, dp - d))) if dp != d else qf
     if q_scale is not None:  # int8 storage: quantized queries, int8 MXU dots
-        qc = jnp.clip(jnp.round(qf / q_scale), -127, 127).astype(jnp.int8)
+        qc = jnp.clip(jnp.round(qp_f / q_scale), -127, 127).astype(jnp.int8)
         scale2 = q_scale * q_scale
     else:
-        qc = jnp.asarray(queries, compute_dtype)
+        qc = jnp.asarray(qp_f, compute_dtype)
         scale2 = None
 
     def probe_step(carry, j):

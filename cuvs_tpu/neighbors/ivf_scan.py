@@ -293,6 +293,11 @@ def cluster_major_scan_tiled(
     M = m_tile
     ip = metric == DistanceType.InnerProduct
     cosine = metric == DistanceType.CosineExpanded
+    dp = sorted_data.shape[1]
+    if dp != d:  # lane-aligned storage (e.g. 96 -> 128): zero-pad queries
+        queries_pad = jnp.pad(queries_f32, ((0, 0), (0, dp - d)))
+    else:
+        queries_pad = queries_f32
 
     tile_cluster, qidx, pair_tile, pair_slot = group_pairs_tiled(
         probe_ids, n_lists, M, n_tiles
@@ -301,10 +306,10 @@ def cluster_major_scan_tiled(
     if cosine:
         qn = jnp.sqrt(qn)
     if q_scale is not None:
-        qc_all = jnp.clip(jnp.round(queries_f32 / q_scale), -127, 127).astype(jnp.int8)
+        qc_all = jnp.clip(jnp.round(queries_pad / q_scale), -127, 127).astype(jnp.int8)
         scale2 = q_scale * q_scale
     else:
-        qc_all = queries_f32.astype(compute_dtype)
+        qc_all = queries_pad.astype(compute_dtype)
         scale2 = None
 
     pad_t = (-n_tiles) % cluster_chunk
