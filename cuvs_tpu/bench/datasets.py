@@ -163,7 +163,16 @@ def load(name: str, max_rows: Optional[int] = None, seed: int = 0) -> Dataset:
                 if os.path.exists(query_path)
                 else base[: spec.n_query].copy()
             )
-            gt = _read_bin(gt_path, "int32") if os.path.exists(gt_path) else None
+            # the .ibin ground truth refers to the FULL base (or the
+            # spec's subset cut): attaching it to a max_rows-truncated
+            # base would score recall against ids that don't exist in the
+            # index, silently deflating every contender
+            gt_ref_rows = spec.subset_size or spec.n_base
+            gt = (
+                _read_bin(gt_path, "int32")
+                if os.path.exists(gt_path) and base.shape[0] >= gt_ref_rows
+                else None
+            )
             return Dataset(name, base, queries[: spec.n_query], spec.metric,
                            synthetic=False, gt_ids=gt)
     # synthetic stand-in with realistic structure: embedding-like data has

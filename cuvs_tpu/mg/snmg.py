@@ -212,12 +212,30 @@ def _build_ivf_flat_sharded(dataset, n_rows, mesh, axis, index_params, kw) -> MG
     )(labels)
     window = ivf.round_window(int(jnp.max(occ)))
 
+    # honor IndexParams.storage_dtype: int8 shards quantize with ONE global
+    # scale (norms stay exact f32), other dtypes cast — matching the
+    # sequential loop path so distributed_build='auto' never changes the
+    # index dtype silently
+    storage = params.storage_dtype
+    q_scale = None
+    if storage is not None and jnp.dtype(storage) == jnp.int8 \
+            and dataset.dtype != jnp.int8:
+        q_scale = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-30) / 127.0
+
     def shard_build(x_blk, lab_blk):
         order, lists = ivf.sort_by_label(lab_blk, n_lists, pad=window)
+        norms = pw.row_norms(jnp.asarray(x_blk, jnp.float32))
+        rows = x_blk[order]
+        if q_scale is not None:
+            rows = jnp.clip(
+                jnp.round(jnp.asarray(rows, jnp.float32) / q_scale), -127, 127
+            ).astype(jnp.int8)
+        elif storage is not None:
+            rows = rows.astype(storage)
         sorted_data = jnp.concatenate(
-            [x_blk[order], jnp.zeros((window, x_blk.shape[1]), x_blk.dtype)], axis=0
+            [rows, jnp.zeros((window, rows.shape[1]), rows.dtype)], axis=0
         )
-        sorted_norms = jnp.pad(pw.row_norms(sorted_data[: x_blk.shape[0]]), (0, window))
+        sorted_norms = jnp.pad(norms[order], (0, window))
         leaves = (sorted_data, sorted_norms) + tuple(lists)
         return tuple(l[None] for l in leaves)
 
@@ -237,6 +255,8 @@ def _build_ivf_flat_sharded(dataset, n_rows, mesh, axis, index_params, kw) -> MG
         sorted_data=sorted_data,
         sorted_norms=sorted_norms,
         lists=ivf.SortedLists(offsets=offsets_l, sizes=sizes, labels=labs, ids=ids),
+        q_scale=(None if q_scale is None
+                 else jnp.broadcast_to(q_scale[None], (n_shards,))),
         metric=params.metric,
         window=window,
         n_rows=block,

@@ -600,23 +600,27 @@ def search(
     return jnp.concatenate(outs_d, axis=0), jnp.concatenate(outs_i, axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("max_ins",))
-def _rank_insert_reverse(graph, dataset_f32, rows, ins_ids, ins_valid, max_ins):
+@functools.partial(jax.jit, static_argnames=("max_ins", "metric"))
+def _rank_insert_reverse(graph, dataset_f32, rows, ins_ids, ins_valid, max_ins,
+                         metric=DistanceType.L2Expanded):
     """Rank-based reverse-edge insertion (add_nodes.cuh:24-96 semantics).
 
     For each affected row t (gathered uniquely into ``rows`` with up to
     ``max_ins`` candidate inserts): recompute the distances of t's current
-    edges and the candidates, sort the combined list by distance, keep the
-    best ``degree`` — a new node displaces existing edges only when it
-    truly ranks above them, instead of unconditionally evicting the last
-    slot.
+    edges and the candidates, sort the combined list by the index metric,
+    keep the best ``degree`` — a new node displaces existing edges only
+    when it truly ranks above them, instead of unconditionally evicting
+    the last slot.
     """
     deg = graph.shape[1]
     tvec = dataset_f32[rows]  # [R, d]
     cur = graph[rows]  # [R, deg]
     cand = jnp.concatenate([cur, jnp.where(ins_valid, ins_ids, 0)], axis=1)
     cvec = dataset_f32[cand]  # [R, deg+max_ins, d]
-    d2 = jnp.sum((cvec - tvec[:, None, :]) ** 2, axis=2)
+    if metric == DistanceType.InnerProduct:
+        d2 = -jnp.einsum("rcd,rd->rc", cvec, tvec)  # min-space IP rank
+    else:
+        d2 = jnp.sum((cvec - tvec[:, None, :]) ** 2, axis=2)
     # invalid inserts and duplicate candidates rank last
     valid = jnp.concatenate(
         [jnp.ones(cur.shape, bool), ins_valid], axis=1
@@ -681,7 +685,7 @@ def extend(index: Index, new_vectors, params: Optional[SearchParams] = None) -> 
     graph_old = index.graph
     upd = _rank_insert_reverse(
         graph_old, jnp.asarray(dataset, jnp.float32), safe_rows, ins_ids,
-        ins_valid, max_ins,
+        ins_valid, max_ins, index.metric,
     )
     graph_old = graph_old.at[jnp.where(rows >= 0, rows, graph_old.shape[0])].set(
         upd, mode="drop"

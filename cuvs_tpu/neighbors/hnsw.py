@@ -59,14 +59,21 @@ def _build_hierarchy(data: np.ndarray, m: int, mult: float, seed: int):
             layers[l] = (nodes, np.full((1, 0), 0, np.int32))
             continue
         sub = data[nodes]
-        kk = min(m, len(nodes) - 1)
-        d2 = (
-            (sub * sub).sum(1)[:, None]
-            + (sub * sub).sum(1)[None, :]
-            - 2.0 * sub @ sub.T
-        )
-        np.fill_diagonal(d2, np.inf)
-        links_local = np.argsort(d2, axis=1)[:, :kk]
+        nl = len(nodes)
+        kk = min(m, nl - 1)
+        # row-blocked exact kNN: a dense [nl, nl] matrix at level 1 of a
+        # 1M-node graph is ~31k^2 f32 ≈ 3.9 GB — blocks cap the transient
+        # at ~block*nl*4 bytes regardless of level size
+        sn = (sub * sub).sum(1)
+        block = max(1, (64 << 20) // max(nl * 4, 1))  # ~64 MB per block
+        links_local = np.empty((nl, kk), np.int64)
+        for r0 in range(0, nl, block):
+            r1 = min(r0 + block, nl)
+            d2 = sn[r0:r1, None] + sn[None, :] - 2.0 * (sub[r0:r1] @ sub.T)
+            d2[np.arange(r0, r1) - r0, np.arange(r0, r1)] = np.inf
+            part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+            ord_ = np.argsort(np.take_along_axis(d2, part, axis=1), axis=1)
+            links_local[r0:r1] = np.take_along_axis(part, ord_, axis=1)
         layers[l] = (nodes, nodes[links_local].astype(np.int32))
     return levels, layers
 

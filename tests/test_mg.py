@@ -128,3 +128,19 @@ def test_mg_serialize_roundtrip(tmp_path):
     loaded = snmg.load(p)
     d2, i2 = mg.search(loaded, q, 5)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_ivf_flat_distributed_build_honors_storage_dtype():
+    import jax.numpy as jnp
+
+    n = 8000
+    x = make_blobs(RNG, n, 16)
+    q = make_blobs(RNG, 48, 16)
+    idx = mg.build(x, algo="ivf_flat", mode="sharded", n_lists=16, seed=0,
+                   storage_dtype=jnp.int8)
+    assert idx.shards.sorted_data.dtype == jnp.int8
+    assert idx.shards.q_scale is not None
+    d, i = mg.search(idx, q, 10, n_probes=16)
+    gtd, gti = naive_knn(q, x, 10)
+    # int8-quantized ranking: floor reflects quantization error, not bugs
+    assert calc_recall(np.asarray(i), gti, np.asarray(d), gtd) >= 0.9

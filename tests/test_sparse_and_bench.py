@@ -129,3 +129,33 @@ def test_groundtruth_cache(tmp_path):
     d1, i1 = datasets.groundtruth(ds, k=5, gt_queries=32, cache_dir=str(tmp_path))
     d2, i2 = datasets.groundtruth(ds, k=5, gt_queries=32, cache_dir=str(tmp_path))
     np.testing.assert_array_equal(i1, i2)
+
+
+def test_truncated_load_drops_provided_groundtruth(tmp_path, monkeypatch):
+    """A max_rows-truncated base must not keep the full-base .ibin gt
+    (recall would be scored against ids missing from the index)."""
+    from cuvs_tpu.bench import datasets
+
+    spec = datasets.REGISTRY["test-data"]
+    root = tmp_path
+    for rel in (spec.base_file, spec.query_file, spec.gt_file):
+        (root / rel).parent.mkdir(parents=True, exist_ok=True)
+
+    def write_bin(rel, arr):
+        with open(root / rel, "wb") as f:
+            np.asarray(arr.shape, np.uint32).tofile(f)
+            arr.tofile(f)
+
+    rng = np.random.default_rng(0)
+    write_bin(spec.base_file,
+              rng.standard_normal((spec.n_base, spec.dims)).astype(np.float32))
+    write_bin(spec.query_file,
+              rng.standard_normal((8, spec.dims)).astype(np.float32))
+    write_bin(spec.gt_file, rng.integers(0, spec.n_base, (8, 10)).astype(np.int32))
+    monkeypatch.setenv("CUVS_TPU_DATASET_DIR", str(root))
+
+    full = datasets.load("test-data")
+    assert full.gt_ids is not None and not full.synthetic
+    cut = datasets.load("test-data", max_rows=1000)
+    assert cut.base.shape[0] == 1000
+    assert cut.gt_ids is None
