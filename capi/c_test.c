@@ -102,6 +102,97 @@ int main(void) {
   printf("extend ok\n");
   CHECK(cuvsTpuIndexDestroy(ivf));
 
+  /* ---- DLPack surface: round-trip per dtype (c_api.h:80-258 parity) */
+  {
+    int64_t dshape[2] = {n, d};
+    int64_t qshape[2] = {nq, d};
+    int64_t oshape[2] = {nq, k};
+    static const struct { uint8_t code; uint8_t bits; } dts[] = {
+        {kDLFloat, 32}, {kDLInt, 8}, {kDLUInt, 8},
+    };
+    for (int t = 0; t < 3; ++t) {
+      void* buf;
+      if (dts[t].bits == 32) {
+        buf = data; /* reuse the f32 buffer */
+      } else if (dts[t].code == kDLInt) {
+        buf = i8data;
+      } else {
+        uint8_t* u8 = malloc(n * d);
+        for (int64_t i = 0; i < n * d; ++i) u8[i] = (uint8_t)(i8data[i] + 100);
+        buf = u8;
+      }
+      DLManagedTensor dset = {{buf, {kDLCPU, 0}, 2,
+                               {dts[t].code, dts[t].bits, 1}, dshape, NULL, 0},
+                              NULL, NULL};
+      DLManagedTensor dq = {{buf, {kDLCPU, 0}, 2,
+                             {dts[t].code, dts[t].bits, 1}, qshape, NULL, 0},
+                            NULL, NULL};
+      DLManagedTensor dout = {{out_d, {kDLCPU, 0}, 2, {kDLFloat, 32, 1},
+                               oshape, NULL, 0}, NULL, NULL};
+      DLManagedTensor iout = {{out_i, {kDLCPU, 0}, 2, {kDLInt, 32, 1},
+                               oshape, NULL, 0}, NULL, NULL};
+      cuvsTpuIndex_t dlx;
+      CHECK(cuvsTpuIndexBuildDL("brute_force", "sqeuclidean", NULL, &dset, &dlx));
+      CHECK(cuvsTpuIndexSearchDL(dlx, NULL, &dq, &dout, &iout));
+      for (int64_t q = 0; q < nq; ++q) {
+        if (out_i[q * k] != (int32_t)q) {
+          fprintf(stderr, "FAIL dlpack self-nn (dt %d): q=%lld id=%d\n", t,
+                  (long long)q, out_i[q * k]);
+          return 1;
+        }
+      }
+      CHECK(cuvsTpuIndexDestroy(dlx));
+    }
+    /* error paths: device tensor and bad strides must be rejected */
+    DLManagedTensor devt = {{data, {kDLCUDA, 0}, 2, {kDLFloat, 32, 1},
+                             dshape, NULL, 0}, NULL, NULL};
+    cuvsTpuIndex_t bad2;
+    if (cuvsTpuIndexBuildDL("brute_force", NULL, NULL, &devt, &bad2) !=
+        CUVS_TPU_ERROR) {
+      fprintf(stderr, "FAIL: device tensor accepted\n");
+      return 1;
+    }
+    cuvsTpuClearLastError();
+    if (strlen(cuvsTpuGetLastError()) != 0) {
+      fprintf(stderr, "FAIL: last error not cleared\n");
+      return 1;
+    }
+    printf("dlpack round-trip ok (f32/i8/u8)\n");
+  }
+
+  /* ---- per-algo param structs ---- */
+  {
+    cuvsTpuIvfFlatIndexParams_t bp;
+    cuvsTpuIvfFlatIndexParamsDefault(&bp);
+    bp.n_lists = 8;
+    cuvsTpuIvfFlatSearchParams_t sp;
+    cuvsTpuIvfFlatSearchParamsDefault(&sp);
+    sp.n_probes = 8;
+    int64_t dshape[2] = {n, d};
+    int64_t qshape[2] = {nq, d};
+    int64_t oshape[2] = {nq, k};
+    DLManagedTensor dset = {{data, {kDLCPU, 0}, 2, {kDLFloat, 32, 1},
+                             dshape, NULL, 0}, NULL, NULL};
+    DLManagedTensor dq = {{queries, {kDLCPU, 0}, 2, {kDLFloat, 32, 1},
+                           qshape, NULL, 0}, NULL, NULL};
+    DLManagedTensor dout = {{out_d, {kDLCPU, 0}, 2, {kDLFloat, 32, 1},
+                             oshape, NULL, 0}, NULL, NULL};
+    DLManagedTensor iout = {{out_i, {kDLCPU, 0}, 2, {kDLInt, 32, 1},
+                             oshape, NULL, 0}, NULL, NULL};
+    cuvsTpuIndex_t ivf2;
+    CHECK(cuvsTpuIvfFlatBuild(&bp, "sqeuclidean", &dset, &ivf2));
+    CHECK(cuvsTpuIvfFlatSearch(ivf2, &sp, &dq, &dout, &iout));
+    for (int64_t q = 0; q < nq; ++q) {
+      if (out_i[q * k] != (int32_t)q) {
+        fprintf(stderr, "FAIL ivf param-struct self-nn\n");
+        return 1;
+      }
+    }
+    CHECK(cuvsTpuSync());
+    CHECK(cuvsTpuIndexDestroy(ivf2));
+    printf("param-struct ivf_flat ok\n");
+  }
+
   /* ---- mg API over the local device mesh ---- */
   cuvsTpuTensor_t td = {data, CUVS_TPU_F32, n, d};
   cuvsTpuMgIndex_t mgi;

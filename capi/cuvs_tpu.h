@@ -17,6 +17,8 @@
 
 #include <stdint.h>
 
+#include "dlpack.h"
+
 #ifdef __cplusplus
 extern "C" {
 #endif
@@ -47,6 +49,14 @@ cuvsTpuError_t cuvsTpuInit(const char* platform);
 
 /* Last error message for this thread (valid until the next API call). */
 const char* cuvsTpuGetLastError(void);
+
+/* Reset this thread's last-error text (c_api.h last-error semantics). */
+void cuvsTpuClearLastError(void);
+
+/* Block until all device work issued by this process has completed —
+ * the stream-sync analog (c_api.h:106-123 cuvsStreamSync); the JAX
+ * dispatch model syncs per call, so this drains any async transfers. */
+cuvsTpuError_t cuvsTpuSync(void);
 
 /* Build an index over a row-major float32 [n_rows, dim] host buffer.
  * algo: "brute_force" | "ivf_flat" | "ivf_pq" | "ivf_sq" | "ivf_rabitq"
@@ -87,6 +97,102 @@ cuvsTpuError_t cuvsTpuIndexSearchTensor(cuvsTpuIndex_t index,
                                         int64_t k,
                                         float* out_distances,
                                         int32_t* out_neighbors);
+
+/* ---- DLPack surface (c_api.h:80-258 parity): any 2-D compact
+ * row-major host DLManagedTensor of f32/f16/bf16/i8/u8. The library
+ * never takes ownership: the caller's deleter is not invoked. ---- */
+cuvsTpuError_t cuvsTpuIndexBuildDL(const char* algo,
+                                   const char* metric,
+                                   const char* params_json,
+                                   const DLManagedTensor* dataset,
+                                   cuvsTpuIndex_t* out_index);
+
+/* out_distances: f32 [n_queries, k]; out_neighbors: i32 [n_queries, k];
+ * both pre-allocated host tensors (kDLCPU), shapes validated. */
+cuvsTpuError_t cuvsTpuIndexSearchDL(cuvsTpuIndex_t index,
+                                    const char* params_json,
+                                    const DLManagedTensor* queries,
+                                    DLManagedTensor* out_distances,
+                                    DLManagedTensor* out_neighbors);
+
+/* ---- Per-algo parameter structs (index_params/search_params parity;
+ * defaults match the reference headers — pass zero-initialized structs
+ * through the *Default helpers first). ---- */
+typedef struct {
+  int64_t n_lists;               /* 1024 (ivf_flat.hpp:28) */
+  int64_t kmeans_n_iters;        /* 20 */
+  double kmeans_trainset_fraction; /* 0.5 */
+  int32_t adaptive_centers;      /* bool */
+  int32_t add_data_on_build;     /* bool */
+} cuvsTpuIvfFlatIndexParams_t;
+
+typedef struct {
+  int64_t n_probes;              /* 20 */
+  double recall_target;          /* 0 = exact selection */
+} cuvsTpuIvfFlatSearchParams_t;
+
+typedef struct {
+  int64_t n_lists;               /* 1024 (ivf_pq.hpp:47) */
+  int64_t pq_dim;                /* 0 = auto */
+  int64_t pq_bits;               /* 8 */
+  int64_t kmeans_n_iters;        /* 20 */
+  int32_t force_random_rotation; /* bool */
+  const char* codebook_kind;     /* "per_subspace" | "per_cluster" (codebook_gen) */
+} cuvsTpuIvfPqIndexParams_t;
+
+typedef struct {
+  int64_t n_probes;              /* 20 */
+  double recall_target;
+} cuvsTpuIvfPqSearchParams_t;
+
+typedef struct {
+  int64_t intermediate_graph_degree; /* 128 (cagra.hpp:151) */
+  int64_t graph_degree;              /* 64 */
+  const char* build_algo;            /* "auto" | "nn_descent" | ... */
+  int32_t guarantee_connectivity;    /* bool */
+} cuvsTpuCagraIndexParams_t;
+
+typedef struct {
+  int64_t itopk_size;   /* 64 (cagra.hpp:280) */
+  int64_t search_width; /* 1 */
+  int64_t max_iterations; /* 0 = auto */
+} cuvsTpuCagraSearchParams_t;
+
+void cuvsTpuIvfFlatIndexParamsDefault(cuvsTpuIvfFlatIndexParams_t* p);
+void cuvsTpuIvfFlatSearchParamsDefault(cuvsTpuIvfFlatSearchParams_t* p);
+void cuvsTpuIvfPqIndexParamsDefault(cuvsTpuIvfPqIndexParams_t* p);
+void cuvsTpuIvfPqSearchParamsDefault(cuvsTpuIvfPqSearchParams_t* p);
+void cuvsTpuCagraIndexParamsDefault(cuvsTpuCagraIndexParams_t* p);
+void cuvsTpuCagraSearchParamsDefault(cuvsTpuCagraSearchParams_t* p);
+
+/* Typed per-algo build/search over DLPack tensors. */
+cuvsTpuError_t cuvsTpuIvfFlatBuild(const cuvsTpuIvfFlatIndexParams_t* params,
+                                   const char* metric,
+                                   const DLManagedTensor* dataset,
+                                   cuvsTpuIndex_t* out_index);
+cuvsTpuError_t cuvsTpuIvfFlatSearch(cuvsTpuIndex_t index,
+                                    const cuvsTpuIvfFlatSearchParams_t* params,
+                                    const DLManagedTensor* queries,
+                                    DLManagedTensor* out_distances,
+                                    DLManagedTensor* out_neighbors);
+cuvsTpuError_t cuvsTpuIvfPqBuild(const cuvsTpuIvfPqIndexParams_t* params,
+                                 const char* metric,
+                                 const DLManagedTensor* dataset,
+                                 cuvsTpuIndex_t* out_index);
+cuvsTpuError_t cuvsTpuIvfPqSearch(cuvsTpuIndex_t index,
+                                  const cuvsTpuIvfPqSearchParams_t* params,
+                                  const DLManagedTensor* queries,
+                                  DLManagedTensor* out_distances,
+                                  DLManagedTensor* out_neighbors);
+cuvsTpuError_t cuvsTpuCagraBuild(const cuvsTpuCagraIndexParams_t* params,
+                                 const char* metric,
+                                 const DLManagedTensor* dataset,
+                                 cuvsTpuIndex_t* out_index);
+cuvsTpuError_t cuvsTpuCagraSearch(cuvsTpuIndex_t index,
+                                  const cuvsTpuCagraSearchParams_t* params,
+                                  const DLManagedTensor* queries,
+                                  DLManagedTensor* out_distances,
+                                  DLManagedTensor* out_neighbors);
 
 /* Append rows to an existing index (per-algo extend semantics). The
  * handle is updated in place. */

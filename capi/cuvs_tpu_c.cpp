@@ -169,6 +169,247 @@ cuvsTpuError_t cuvsTpuIndexSearchTensor(cuvsTpuIndex_t index,
   return CUVS_TPU_SUCCESS;
 }
 
+/* ---- DLPack surface ---- */
+
+namespace {
+
+// maps a DLDataType to the bridge's dtype name; NULL = unsupported
+const char* dl_dtype_name(DLDataType t) {
+  if (t.lanes != 1) return nullptr;
+  if (t.code == kDLFloat && t.bits == 32) return "float32";
+  if (t.code == kDLFloat && t.bits == 16) return "float16";
+  if (t.code == kDLBfloat && t.bits == 16) return "bfloat16";
+  if (t.code == kDLInt && t.bits == 8) return "int8";
+  if (t.code == kDLUInt && t.bits == 8) return "uint8";
+  if (t.code == kDLInt && t.bits == 32) return "int32";
+  return nullptr;
+}
+
+// validates a 2-D compact row-major host tensor; returns data pointer
+const void* dl_check_2d(const DLManagedTensor* mt, const char* what,
+                        int64_t* rows, int64_t* cols) {
+  if (!mt) { g_last_error = std::string(what) + ": null tensor"; return nullptr; }
+  const DLTensor& t = mt->dl_tensor;
+  if (t.device.device_type != kDLCPU) {
+    g_last_error = std::string(what) + ": only kDLCPU host tensors accepted";
+    return nullptr;
+  }
+  if (t.ndim != 2 || !t.shape) {
+    g_last_error = std::string(what) + ": expected a 2-D tensor";
+    return nullptr;
+  }
+  if (t.strides && (t.strides[1] != 1 || t.strides[0] != t.shape[1])) {
+    g_last_error = std::string(what) + ": expected compact row-major strides";
+    return nullptr;
+  }
+  *rows = t.shape[0];
+  *cols = t.shape[1];
+  return static_cast<const char*>(t.data) + t.byte_offset;
+}
+
+}  // namespace
+
+cuvsTpuError_t cuvsTpuIndexBuildDL(const char* algo, const char* metric,
+                                   const char* params_json,
+                                   const DLManagedTensor* dataset,
+                                   cuvsTpuIndex_t* out_index) {
+  int64_t rows = 0, cols = 0;
+  const void* data = dl_check_2d(dataset, "dataset", &rows, &cols);
+  if (!data) return CUVS_TPU_ERROR;
+  const char* dt = dl_dtype_name(dataset->dl_tensor.dtype);
+  if (!dt) { g_last_error = "dataset: unsupported DLDataType"; return CUVS_TPU_ERROR; }
+  GIL gil;
+  PyObject* b = bridge();
+  if (!b) { set_error_from_python(); return CUVS_TPU_ERROR; }
+  PyObject* r = PyObject_CallMethod(
+      b, "build_typed", "sssKLLs", algo, metric ? metric : "sqeuclidean",
+      params_json ? params_json : "{}", (unsigned long long)(uintptr_t)data,
+      (long long)rows, (long long)cols, dt);
+  if (!r) { set_error_from_python(); return CUVS_TPU_ERROR; }
+  auto* h = new cuvsTpuIndex;
+  h->obj = r;
+  *out_index = h;
+  return CUVS_TPU_SUCCESS;
+}
+
+cuvsTpuError_t cuvsTpuIndexSearchDL(cuvsTpuIndex_t index,
+                                    const char* params_json,
+                                    const DLManagedTensor* queries,
+                                    DLManagedTensor* out_distances,
+                                    DLManagedTensor* out_neighbors) {
+  int64_t qr = 0, qc = 0, dr = 0, dk = 0, nr = 0, nk = 0;
+  const void* qdata = dl_check_2d(queries, "queries", &qr, &qc);
+  const void* ddata = dl_check_2d(out_distances, "out_distances", &dr, &dk);
+  const void* ndata = dl_check_2d(out_neighbors, "out_neighbors", &nr, &nk);
+  if (!qdata || !ddata || !ndata) return CUVS_TPU_ERROR;
+  const char* qt = dl_dtype_name(queries->dl_tensor.dtype);
+  if (!qt) { g_last_error = "queries: unsupported DLDataType"; return CUVS_TPU_ERROR; }
+  const DLDataType& dd = out_distances->dl_tensor.dtype;
+  const DLDataType& nd = out_neighbors->dl_tensor.dtype;
+  if (!(dd.code == kDLFloat && dd.bits == 32)) {
+    g_last_error = "out_distances must be float32"; return CUVS_TPU_ERROR;
+  }
+  if (!(nd.code == kDLInt && nd.bits == 32)) {
+    g_last_error = "out_neighbors must be int32"; return CUVS_TPU_ERROR;
+  }
+  if (dr != qr || nr != qr || dk != nk) {
+    g_last_error = "output shapes must be [n_queries, k]"; return CUVS_TPU_ERROR;
+  }
+  GIL gil;
+  PyObject* b = bridge();
+  if (!b || !index) { set_error_from_python(); return CUVS_TPU_ERROR; }
+  PyObject* r = PyObject_CallMethod(
+      b, "search_typed", "OsKLLsLKK", index->obj,
+      params_json ? params_json : "{}", (unsigned long long)(uintptr_t)qdata,
+      (long long)qr, (long long)qc, qt, (long long)dk,
+      (unsigned long long)(uintptr_t)ddata,
+      (unsigned long long)(uintptr_t)ndata);
+  if (!r) { set_error_from_python(); return CUVS_TPU_ERROR; }
+  Py_DECREF(r);
+  return CUVS_TPU_SUCCESS;
+}
+
+/* ---- per-algo param structs ---- */
+
+void cuvsTpuIvfFlatIndexParamsDefault(cuvsTpuIvfFlatIndexParams_t* p) {
+  p->n_lists = 1024;
+  p->kmeans_n_iters = 20;
+  p->kmeans_trainset_fraction = 0.5;
+  p->adaptive_centers = 0;
+  p->add_data_on_build = 1;
+}
+void cuvsTpuIvfFlatSearchParamsDefault(cuvsTpuIvfFlatSearchParams_t* p) {
+  p->n_probes = 20;
+  p->recall_target = 0.0;
+}
+void cuvsTpuIvfPqIndexParamsDefault(cuvsTpuIvfPqIndexParams_t* p) {
+  p->n_lists = 1024;
+  p->pq_dim = 0;
+  p->pq_bits = 8;
+  p->kmeans_n_iters = 20;
+  p->force_random_rotation = 0;
+  p->codebook_kind = "per_subspace";
+}
+void cuvsTpuIvfPqSearchParamsDefault(cuvsTpuIvfPqSearchParams_t* p) {
+  p->n_probes = 20;
+  p->recall_target = 0.0;
+}
+void cuvsTpuCagraIndexParamsDefault(cuvsTpuCagraIndexParams_t* p) {
+  p->intermediate_graph_degree = 128;
+  p->graph_degree = 64;
+  p->build_algo = "auto";
+  p->guarantee_connectivity = 0;
+}
+void cuvsTpuCagraSearchParamsDefault(cuvsTpuCagraSearchParams_t* p) {
+  p->itopk_size = 64;
+  p->search_width = 1;
+  p->max_iterations = 0;
+}
+
+cuvsTpuError_t cuvsTpuIvfFlatBuild(const cuvsTpuIvfFlatIndexParams_t* p,
+                                   const char* metric,
+                                   const DLManagedTensor* dataset,
+                                   cuvsTpuIndex_t* out_index) {
+  char js[256];
+  std::snprintf(js, sizeof(js),
+                "{\"n_lists\": %lld, \"kmeans_n_iters\": %lld, "
+                "\"kmeans_trainset_fraction\": %g, \"adaptive_centers\": %s}",
+                (long long)p->n_lists, (long long)p->kmeans_n_iters,
+                p->kmeans_trainset_fraction,
+                p->adaptive_centers ? "true" : "false");
+  return cuvsTpuIndexBuildDL("ivf_flat", metric, js, dataset, out_index);
+}
+
+cuvsTpuError_t cuvsTpuIvfFlatSearch(cuvsTpuIndex_t index,
+                                    const cuvsTpuIvfFlatSearchParams_t* p,
+                                    const DLManagedTensor* queries,
+                                    DLManagedTensor* out_distances,
+                                    DLManagedTensor* out_neighbors) {
+  char js[160];
+  if (p->recall_target > 0)
+    std::snprintf(js, sizeof(js), "{\"n_probes\": %lld, \"recall_target\": %g}",
+                  (long long)p->n_probes, p->recall_target);
+  else
+    std::snprintf(js, sizeof(js), "{\"n_probes\": %lld}", (long long)p->n_probes);
+  return cuvsTpuIndexSearchDL(index, js, queries, out_distances, out_neighbors);
+}
+
+cuvsTpuError_t cuvsTpuIvfPqBuild(const cuvsTpuIvfPqIndexParams_t* p,
+                                 const char* metric,
+                                 const DLManagedTensor* dataset,
+                                 cuvsTpuIndex_t* out_index) {
+  char js[320];
+  std::snprintf(js, sizeof(js),
+                "{\"n_lists\": %lld, \"pq_dim\": %lld, \"pq_bits\": %lld, "
+                "\"kmeans_n_iters\": %lld, \"force_random_rotation\": %s, "
+                "\"codebook_gen\": \"%s\"}",
+                (long long)p->n_lists, (long long)p->pq_dim,
+                (long long)p->pq_bits, (long long)p->kmeans_n_iters,
+                p->force_random_rotation ? "true" : "false",
+                p->codebook_kind ? p->codebook_kind : "per_subspace");
+  return cuvsTpuIndexBuildDL("ivf_pq", metric, js, dataset, out_index);
+}
+
+cuvsTpuError_t cuvsTpuIvfPqSearch(cuvsTpuIndex_t index,
+                                  const cuvsTpuIvfPqSearchParams_t* p,
+                                  const DLManagedTensor* queries,
+                                  DLManagedTensor* out_distances,
+                                  DLManagedTensor* out_neighbors) {
+  char js[160];
+  if (p->recall_target > 0)
+    std::snprintf(js, sizeof(js), "{\"n_probes\": %lld, \"recall_target\": %g}",
+                  (long long)p->n_probes, p->recall_target);
+  else
+    std::snprintf(js, sizeof(js), "{\"n_probes\": %lld}", (long long)p->n_probes);
+  return cuvsTpuIndexSearchDL(index, js, queries, out_distances, out_neighbors);
+}
+
+cuvsTpuError_t cuvsTpuCagraBuild(const cuvsTpuCagraIndexParams_t* p,
+                                 const char* metric,
+                                 const DLManagedTensor* dataset,
+                                 cuvsTpuIndex_t* out_index) {
+  char js[320];
+  std::snprintf(js, sizeof(js),
+                "{\"intermediate_graph_degree\": %lld, \"graph_degree\": %lld, "
+                "\"build_algo\": \"%s\", \"guarantee_connectivity\": %s}",
+                (long long)p->intermediate_graph_degree,
+                (long long)p->graph_degree,
+                p->build_algo ? p->build_algo : "auto",
+                p->guarantee_connectivity ? "true" : "false");
+  return cuvsTpuIndexBuildDL("cagra", metric, js, dataset, out_index);
+}
+
+cuvsTpuError_t cuvsTpuCagraSearch(cuvsTpuIndex_t index,
+                                  const cuvsTpuCagraSearchParams_t* p,
+                                  const DLManagedTensor* queries,
+                                  DLManagedTensor* out_distances,
+                                  DLManagedTensor* out_neighbors) {
+  char js[200];
+  if (p->max_iterations > 0)
+    std::snprintf(js, sizeof(js),
+                  "{\"itopk_size\": %lld, \"search_width\": %lld, "
+                  "\"max_iterations\": %lld}",
+                  (long long)p->itopk_size, (long long)p->search_width,
+                  (long long)p->max_iterations);
+  else
+    std::snprintf(js, sizeof(js),
+                  "{\"itopk_size\": %lld, \"search_width\": %lld}",
+                  (long long)p->itopk_size, (long long)p->search_width);
+  return cuvsTpuIndexSearchDL(index, js, queries, out_distances, out_neighbors);
+}
+
+void cuvsTpuClearLastError(void) { g_last_error.clear(); }
+
+cuvsTpuError_t cuvsTpuSync(void) {
+  GIL gil;
+  PyObject* b = bridge();
+  if (!b) { set_error_from_python(); return CUVS_TPU_ERROR; }
+  PyObject* r = PyObject_CallMethod(b, "sync", nullptr);
+  if (!r) { set_error_from_python(); return CUVS_TPU_ERROR; }
+  Py_DECREF(r);
+  return CUVS_TPU_SUCCESS;
+}
+
 cuvsTpuError_t cuvsTpuIndexExtend(cuvsTpuIndex_t index,
                                   const cuvsTpuTensor_t* new_rows) {
   GIL gil;

@@ -35,9 +35,27 @@ def _algos():
 
 def _wrap(ptr: int, shape, dtype):
     size = int(np.prod(shape))
-    ctype = np.ctypeslib.as_ctypes_type(np.dtype(dtype))
+    dt = np.dtype(dtype) if dtype != "bfloat16" else None
+    if dt is None:  # bf16 has no ctypes type: wrap the bits, view as bf16
+        import ml_dtypes
+
+        buf = (ctypes.c_uint16 * size).from_address(ptr)
+        return (
+            np.frombuffer(buf, dtype=np.uint16)
+            .view(ml_dtypes.bfloat16)
+            .reshape(shape)
+        )
+    ctype = np.ctypeslib.as_ctypes_type(dt)
     buf = (ctype * size).from_address(ptr)
-    return np.frombuffer(buf, dtype=dtype).reshape(shape)
+    return np.frombuffer(buf, dtype=dt).reshape(shape)
+
+
+def sync():
+    """Drain all in-flight device work (cuvsStreamSync analog)."""
+    import jax
+
+    (jax.device_put(0.0) + 0).block_until_ready()
+    return True
 
 
 def init(platform: str):
@@ -93,7 +111,7 @@ def deserialize(path: str):
 def build_typed(algo: str, metric: str, params_json: str, data_ptr: int,
                 n_rows: int, dim: int, dtype: str):
     module = _algos()[algo]
-    data = _wrap(data_ptr, (n_rows, dim), np.dtype(dtype)).copy()
+    data = _wrap(data_ptr, (n_rows, dim), dtype).copy()
     params = json.loads(params_json or "{}")
     index = module.build(data, metric=metric, **params)
     return (algo, index)
@@ -103,7 +121,7 @@ def search_typed(handle, params_json: str, q_ptr: int, n_queries: int,
                  dim: int, dtype: str, k: int, out_d_ptr: int, out_i_ptr: int):
     algo, index = handle
     module = _algos()[algo]
-    q = _wrap(q_ptr, (n_queries, dim), np.dtype(dtype)).copy()
+    q = _wrap(q_ptr, (n_queries, dim), dtype).copy()
     params = json.loads(params_json or "{}")
     d, i = module.search(index, q, int(k), **params)
     _wrap(out_d_ptr, (n_queries, k), np.float32)[:] = np.asarray(d, np.float32)
@@ -116,7 +134,7 @@ def extend(handle, ptr: int, n_rows: int, dim: int, dtype: str):
     module = _algos()[algo]
     if not hasattr(module, "extend"):
         raise ValueError(f"{algo} does not support extend")
-    rows = _wrap(ptr, (n_rows, dim), np.dtype(dtype)).copy()
+    rows = _wrap(ptr, (n_rows, dim), dtype).copy()
     return (algo, module.extend(index, rows))
 
 
@@ -126,7 +144,7 @@ def mg_build(algo: str, mode: str, metric: str, params_json: str,
              data_ptr: int, n_rows: int, dim: int, dtype: str):
     from cuvs_tpu import mg
 
-    data = _wrap(data_ptr, (n_rows, dim), np.dtype(dtype)).copy()
+    data = _wrap(data_ptr, (n_rows, dim), dtype).copy()
     params = json.loads(params_json or "{}")
     return mg.build(data, algo=algo, mode=mode, metric=metric, **params)
 
@@ -135,7 +153,7 @@ def mg_search(index, params_json: str, q_ptr: int, n_queries: int, dim: int,
               dtype: str, k: int, out_d_ptr: int, out_i_ptr: int):
     from cuvs_tpu import mg
 
-    q = _wrap(q_ptr, (n_queries, dim), np.dtype(dtype)).copy()
+    q = _wrap(q_ptr, (n_queries, dim), dtype).copy()
     params = json.loads(params_json or "{}")
     d, i = mg.search(index, q, int(k), **params)
     _wrap(out_d_ptr, (n_queries, k), np.float32)[:] = np.asarray(d, np.float32)

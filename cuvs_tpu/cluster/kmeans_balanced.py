@@ -58,20 +58,33 @@ def _em_iters(x, centers, n_iters, compute_dtype):
 
 
 def _balancing_iters(key, x, centers, n_iters, compute_dtype):
-    """EM with adaptive center adjustment for under-populated clusters.
+    """EM with soft balancing + adaptive center adjustment.
 
-    Mirrors the intent of kmeans_balanced.cuh:645 (balancing_em_iters +
-    adjust_centers): after each EM step, clusters with fewer than
-    ``avg/4`` members are teleported onto a random member of an
-    oversized cluster, pulling mass off heavy lists.
+    Mirrors kmeans_balanced.cuh:645-810 (balancing_em_iters +
+    adjust_centers) with both of its levers:
+      * SOFT: the assignment argmin multiplies each cluster's squared
+        distance by a size-dependent penalty ``(count/avg)^0.5`` — points
+        near a heavy cluster's boundary drain to lighter neighbors, which
+        directly bounds the padded scan window (peak HBM + scan cost);
+      * HARD: clusters still under ``avg/4`` members are teleported onto
+        a random member of an oversized cluster.
+    The FINAL iteration runs with the true (unweighted) metric so the
+    returned centers assign points honestly at predict() time.
     """
     n = x.shape[0]
     k = centers.shape[0]
     avg = n / k
 
-    def step(carry, key_i):
+    def step(carry, args):
         centers = carry
-        labels, _ = fused_l2_argmin(x, centers, compute_dtype=compute_dtype)
+        key_i, last = args
+        labels0, _ = fused_l2_argmin(x, centers, compute_dtype=compute_dtype)
+        counts0 = jax.ops.segment_sum(jnp.ones((n,), jnp.float32), labels0, k)
+        penalty = jnp.sqrt(jnp.maximum(counts0 / avg, 1e-6))
+        penalty = jnp.where(last, jnp.ones_like(penalty), penalty)
+        labels, _ = fused_l2_argmin(
+            x, centers, compute_dtype=compute_dtype, center_weights=penalty
+        )
         sums = jax.ops.segment_sum(x, labels, num_segments=k)
         counts = jax.ops.segment_sum(jnp.ones_like(labels, jnp.float32), labels, k)
         new = sums / jnp.maximum(counts, 1.0)[:, None]
@@ -84,11 +97,12 @@ def _balancing_iters(key, x, centers, n_iters, compute_dtype):
             key_i, jnp.log(jnp.maximum(point_weight, 1e-9)), shape=(k,)
         )
         donors = x[donor_idx]
-        new = jnp.where(small[:, None], donors, new)
+        new = jnp.where(jnp.logical_and(small, ~last)[:, None], donors, new)
         return new, None
 
     keys = jax.random.split(key, n_iters)
-    centers, _ = lax.scan(step, centers, keys)
+    last = jnp.arange(n_iters) == n_iters - 1
+    centers, _ = lax.scan(step, centers, (keys, last))
     return centers
 
 

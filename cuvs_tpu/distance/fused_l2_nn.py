@@ -21,7 +21,7 @@ from cuvs_tpu.distance.pairwise import matmul_precision
 
 
 @functools.partial(jax.jit, static_argnames=("row_tile", "compute_dtype", "sqrt"))
-def _fused_impl(x, y, y_norms, row_tile, compute_dtype, sqrt):
+def _fused_impl(x, y, y_norms, row_tile, compute_dtype, sqrt, weights=None):
     m, d = x.shape
     k = y.shape[0]
     yc = y.astype(compute_dtype)
@@ -44,6 +44,8 @@ def _fused_impl(x, y, y_norms, row_tile, compute_dtype, sqrt):
         )  # [row_tile, k]
         dist = xn[:, None] + y_norms[None, :] - 2.0 * dots
         dist = jnp.maximum(dist, 0.0)
+        if weights is not None:  # soft-balancing size penalty
+            dist = dist * weights[None, :]
         idx = jnp.argmin(dist, axis=-1)
         val = jnp.min(dist, axis=-1)
         return idx.astype(jnp.int32), val
@@ -63,16 +65,21 @@ def fused_l2_argmin(
     row_tile: int = 32768,
     compute_dtype=jnp.float32,
     sqrt: bool = False,
+    center_weights: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """For each row of x, the nearest row of y under squared L2.
 
     Returns (labels [m] int32, min_dist [m] fp32). ``row_tile`` bounds the
     [tile, k] intermediate (parity with the reference's batch_samples=2^15
     mini-batching, include/cuvs/cluster/kmeans.hpp:111).
+    ``center_weights`` [k] multiplies squared distances inside the argmin
+    (the kmeans_balanced soft-balancing hook): returned min_dist is then
+    in weighted space.
     """
     x = jnp.asarray(x)
     y = jnp.asarray(y)
     if y_norms is None:
         y_norms = jnp.sum(jnp.asarray(y, jnp.float32) ** 2, axis=-1)
     row_tile = int(min(row_tile, max(8, x.shape[0])))
-    return _fused_impl(x, y, y_norms, row_tile, compute_dtype, sqrt)
+    return _fused_impl(x, y, y_norms, row_tile, compute_dtype, sqrt,
+                       center_weights)

@@ -257,20 +257,23 @@ def search(
     nq = queries.shape[0]
     if prefilter is None:
         prefilter = filt.no_filter()
+    exact_sel = recall_target is None
     if (
         fused
         and jax.default_backend() == "tpu"  # Pallas compiled mode is TPU-only
-        and index.q_scale is None
         and prefilter.is_none
         and index.metric in (DistanceType.L2Expanded, DistanceType.L2SqrtExpanded,
                              DistanceType.InnerProduct)
-        and k <= 64
+        # exact mode runs k masked-max rounds per tile; approx (bin) mode
+        # only needs k to fit the per-tile bin pool
+        and ((exact_sel and k <= 64) or (not exact_sel and k <= 128))
     ):
         from cuvs_tpu.ops import bf_topk_pallas
 
         return bf_topk_pallas.search(
             index.dataset, index.norms, queries, int(k), metric=index.metric,
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, exact=exact_sel,
+            q_scale=index.q_scale,
         )
     query_chunk = int(min(query_chunk, max(8, nq)))
     if tile_size is None:

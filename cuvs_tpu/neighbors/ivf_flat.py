@@ -65,9 +65,12 @@ class SearchParams:
     n_probes: int = 20
     compute_dtype: object = jnp.float32
     recall_target: object = None
-    # "auto" | "query_major" | "cluster_major" — cluster_major batches each
-    # list's probing queries into one MXU matmul (ivf_scan.py); auto picks
-    # it when the batch is large enough to fill clusters
+    # "auto" | "query_major" | "cluster_major" | "fused" — cluster_major
+    # batches each list's probing queries into one MXU matmul
+    # (ivf_scan.py); "fused" additionally runs the whole scan in one
+    # Pallas kernel with in-VMEM bin selection (ops/ivf_scan_pallas.py —
+    # the ivf_flat_interleaved_scan analog). auto picks fused on TPU for
+    # large unfiltered L2/IP batches, cluster_major otherwise.
     scan_algo: str = "auto"
 
 
@@ -543,10 +546,61 @@ def search(
     if algo == "auto":
         # cluster-major sizes its slot axis with a host-side sync, so it is
         # unavailable under an outer trace (e.g. mg shard_map)
-        algo = (
-            "cluster_major"
-            if nq * n_probes >= 4 * index.n_lists and not traced_ctx
-            else "query_major"
+        if nq * n_probes >= 4 * index.n_lists and not traced_ctx:
+            algo = (
+                "fused"
+                if (
+                    jax.default_backend() == "tpu"
+                    and (prefilter is None or prefilter.is_none)
+                    and index.metric in (
+                        DistanceType.L2Expanded,
+                        DistanceType.L2SqrtExpanded,
+                        DistanceType.InnerProduct,
+                    )
+                )
+                else "cluster_major"
+            )
+        else:
+            algo = "query_major"
+    if algo == "fused" and (
+        not (prefilter is None or prefilter.is_none)
+        or index.metric not in (
+            DistanceType.L2Expanded,
+            DistanceType.L2SqrtExpanded,
+            DistanceType.InnerProduct,
+        )
+    ):
+        algo = "cluster_major"  # filters / other metrics: unfused scan
+    if algo == "fused":
+        from cuvs_tpu.neighbors import ivf_scan
+
+        qf = jnp.asarray(queries, jnp.float32)
+        probe_ids = ivf.coarse_search(
+            qf, index.centers, index.center_norms, n_probes, index.metric,
+            params.compute_dtype,
+        )
+        M = int(min(128, max(8, nq)))
+        n_tiles = nq * n_probes // M + min(index.n_lists, nq * n_probes) + 1
+        # effective bins per cluster = avg list size / 128 (not window/128):
+        # size cap so per-cluster capacity clears ~2k, exact when lists tiny
+        eff = max(1, index.n_rows // index.n_lists // 128)
+        cap = int(min(k, 32, max(2, -(-2 * k) // eff)))
+        return ivf_scan.cluster_major_scan_fused(
+            index.sorted_data,
+            index.sorted_norms,
+            index.lists,
+            qf,
+            probe_ids,
+            int(k),
+            index.metric,
+            index.window,
+            M,
+            params.compute_dtype,
+            int(n_tiles),
+            None if params.recall_target is None else float(params.recall_target),
+            index.q_scale,
+            bin_cap=cap,
+            interpret=jax.default_backend() != "tpu",
         )
     if algo == "cluster_major":
         from cuvs_tpu.neighbors import ivf_scan

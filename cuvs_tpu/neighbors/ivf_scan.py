@@ -392,6 +392,118 @@ def cluster_major_scan_tiled(
 @functools.partial(
     jax.jit,
     static_argnames=(
+        "k", "metric", "window", "m_tile", "compute_dtype", "n_tiles",
+        "recall_target", "bin_cap", "interpret",
+    ),
+)
+def cluster_major_scan_fused(
+    sorted_data,
+    sorted_norms,
+    lists,
+    queries_f32,
+    probe_ids,
+    k,
+    metric,
+    window,
+    m_tile,
+    compute_dtype,
+    n_tiles,
+    recall_target=None,
+    q_scale=None,
+    bin_cap=None,
+    interpret=False,
+):
+    """IVF-Flat cluster-major search through the fused Pallas scan kernel
+    (ops/ivf_scan_pallas.py): no HBM order tensor, no per-row sorts —
+    each probed window is scored and bin-reduced entirely in VMEM.
+
+    Same grouping as ``cluster_major_scan_tiled``; per-probe candidates
+    are per-128-row-bin minima (approx-select semantics; pair with
+    refine() for the last recall digit). L2 family + InnerProduct only,
+    unfiltered (callers fall back to the unfused scan otherwise).
+    """
+    from cuvs_tpu.ops import ivf_scan_pallas
+
+    nq, d = queries_f32.shape
+    p = probe_ids.shape[1]
+    n_lists = lists.offsets.shape[0]
+    M = m_tile
+    ip = metric == DistanceType.InnerProduct
+    dp = sorted_data.shape[1]
+    n_pad = sorted_data.shape[0]
+    W_k = window + 128  # +128: room for the 128-aligned start shift
+
+    tile_cluster, qidx, pair_tile, pair_slot = group_pairs_tiled(
+        probe_ids, n_lists, M, n_tiles
+    )
+    # per-tile window metadata (starts 128-aligned for tiled-layout DMA)
+    safe_c = jnp.clip(tile_cluster, 0, n_lists - 1)
+    start = lists.offsets[safe_c]
+    al = (start // 128) * 128
+    al = jnp.minimum(al, ((n_pad - W_k) // 128) * 128)
+    lo = start - al
+    sizes = jnp.where(tile_cluster >= 0, lists.sizes[safe_c], 0)
+
+    qp = jnp.pad(queries_f32, ((0, 0), (0, dp - d))) if dp != d else queries_f32
+    if q_scale is not None:
+        qc = jnp.clip(jnp.round(qp / q_scale), -127, 127).astype(jnp.int8)
+        scale2 = q_scale * q_scale
+        int8_mode = True
+    else:
+        qc = qp.astype(compute_dtype)
+        scale2 = jnp.float32(1.0)
+        int8_mode = False
+
+    # inner chunk: largest divisor of W_k at most 32 blocks (4 MB f32 dots)
+    blocks = W_k // 128
+    ib = max((b for b in range(1, min(blocks, 32) + 1) if blocks % b == 0))
+    # per-bin depth: a cluster's EFFECTIVE bin count is list_size/128, so
+    # capacity (cap * eff_bins) must clear ~2k or a concentrated top-k
+    # overflows its nearest cluster's bins; cap >= k makes the per-window
+    # selection exact (callers with avg-list-size knowledge pass bin_cap)
+    cap = int(bin_cap) if bin_cap else int(min(k, 32, max(2, -(-2 * k // blocks))))
+    out_v, out_i = ivf_scan_pallas.fused_ivf_scan(
+        sorted_data, sorted_norms, qc, qidx, al, lo, sizes, scale2,
+        W=W_k, m_tile=M, inner=ib * 128, ip=ip, int8_mode=int8_mode,
+        cap=cap, interpret=interpret,
+    )
+    F = W_k // 128
+    Fc = cap * F
+
+    # sentinel tile row for dropped pairs (cannot occur at the default
+    # n_tiles bound — see group_pairs_tiled)
+    out_v = jnp.pad(out_v, ((0, 1), (0, 0), (0, 0)), constant_values=jnp.inf)
+    out_i = jnp.pad(out_i, ((0, 1), (0, 0), (0, 0)))
+    pv = out_v[pair_tile, pair_slot].reshape(nq, p * Fc)
+    po = out_i[pair_tile, pair_slot].reshape(nq, p * Fc)
+
+    kk = min(k, p * Fc)
+    tv, tl = topk(pv, kk, True, recall_target)
+    ok = jnp.isfinite(tv)
+    # recover global positions: pool col = probe j * Fc + rank r * F + bin
+    al_pad = jnp.append(al, 0)
+    probe_j = tl // Fc
+    tile_sel = jnp.take_along_axis(pair_tile, probe_j, axis=1)
+    off = jnp.take_along_axis(po, tl, axis=1).astype(jnp.int32)
+    pos = al_pad[tile_sel] + ((tl % Fc) % F) * 128 + off
+    fi = jnp.where(ok, lists.ids[jnp.where(ok, pos, 0)], 0)
+
+    if ip:
+        fv = jnp.where(ok, -tv, -jnp.inf)
+    else:
+        qn = jnp.sum(queries_f32 * queries_f32, axis=1)
+        fv = jnp.maximum(tv + qn[:, None], 0.0)
+        fv = ivf.postprocess_distances(fv, metric)
+    if kk < k:
+        fv = jnp.pad(fv, ((0, 0), (0, k - kk)),
+                     constant_values=-jnp.inf if ip else jnp.inf)
+        fi = jnp.pad(fi, ((0, 0), (0, k - kk)))
+    return fv, fi
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
         "k", "metric", "window", "max_per_cluster", "cluster_chunk",
         "compute_dtype", "recall_target", "pq_bits", "codebook_gen", "pq_dim_s",
     ),

@@ -88,3 +88,87 @@ def refine(
         raise ValueError(f"k={k} > candidate count {candidates.shape[1]}")
     qchunk = int(min(query_chunk, max(8, queries.shape[0])))
     return _refine_impl(dataset, queries, candidates, int(k), metric, compute_dtype, qchunk)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric", "compute_dtype"))
+def _refine_rows_impl(cand_vecs, queries, candidates, k, metric, compute_dtype):
+    nq, c, d = cand_vecs.shape
+    ip = metric == DistanceType.InnerProduct
+    q = jnp.asarray(queries, jnp.float32)
+    invalid = candidates < 0
+    vecs = jnp.asarray(cand_vecs, jnp.float32)
+    dots = lax.dot_general(
+        q.astype(compute_dtype)[:, None, :],
+        vecs.astype(compute_dtype),
+        (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=pairwise.matmul_precision(compute_dtype),
+    )[:, 0, :]
+    if ip:
+        order = -dots
+    elif metric == DistanceType.CosineExpanded:
+        qn = jnp.sqrt(jnp.sum(q * q, 1))[:, None]
+        vn = jnp.sqrt(jnp.sum(vecs * vecs, 2))
+        order = 1.0 - dots / jnp.maximum(qn * vn, 1e-30)
+    else:
+        qn = jnp.sum(q * q, 1)[:, None]
+        vn = jnp.sum(vecs * vecs, 2)
+        order = jnp.maximum(qn + vn - 2.0 * dots, 0.0)
+    order = jnp.where(invalid, jnp.inf, order)
+    tv, tl = lax.top_k(-order, k)
+    ti = jnp.take_along_axis(jnp.maximum(candidates, 0), tl, axis=1)
+    bv = -tv
+    if ip:
+        bv = -bv
+    return ivf.postprocess_distances(bv, metric), ti
+
+
+def refine_host(
+    host_dataset,
+    queries,
+    candidates,
+    k: int,
+    metric="sqeuclidean",
+    compute_dtype=jnp.float32,
+    batch: int = 8192,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact re-rank against a HOST-resident dataset (refine_host.hpp
+    semantics, re-shaped for the TPU transfer asymmetry).
+
+    The raw vectors never need to be device-resident: only the k*ratio
+    candidate rows are gathered from host RAM ([nq, c, d] — ~63 MB for
+    4096 queries x 40 candidates x 96 dims) and uploaded for one batched
+    exact scoring pass. This closes the recall gap of quantized on-chip
+    rankings (e.g. the 100M int8 single-chip index) without holding the
+    38 GB f32 dataset anywhere on device.
+
+    ``host_dataset``: numpy array / np.memmap [n, d], or a reader with
+    ``read(start, count)`` (cuvs_tpu.io.BinDataset) for on-disk sources.
+    """
+    import numpy as np
+
+    metric = normalize_metric(metric)
+    candidates = np.asarray(candidates)
+    nq, c = candidates.shape
+    if k > c:
+        raise ValueError(f"k={k} > candidate count {c}")
+    reader = hasattr(host_dataset, "read") and not isinstance(host_dataset, np.ndarray)
+    out_d, out_i = [], []
+    for lo in range(0, nq, batch):
+        hi = min(lo + batch, nq)
+        cb = candidates[lo:hi]
+        safe = np.maximum(cb, 0)
+        if reader:
+            flat = safe.reshape(-1)
+            uniq, inv = np.unique(flat, return_inverse=True)
+            rows = np.stack([host_dataset.read(int(u), 1)[0] for u in uniq])
+            vecs = rows[inv].reshape(hi - lo, c, -1)
+        else:
+            vecs = np.asarray(host_dataset)[safe]
+        d, i = _refine_rows_impl(
+            jnp.asarray(vecs, jnp.float32), jnp.asarray(queries)[lo:hi],
+            jnp.asarray(cb), int(k), metric, compute_dtype,
+        )
+        out_d.append(d)
+        out_i.append(i)
+    return jnp.concatenate(out_d, axis=0), jnp.concatenate(out_i, axis=0)

@@ -104,3 +104,59 @@ def test_grouping_order_matches_argsort():
         got = np.asarray(_grouping_order(labels, n_lists, 1 << 12))
         exp = np.argsort(np.asarray(labels), kind="stable")
         assert np.array_equal(got, exp), (n, n_lists)
+
+
+class TestFusedScan:
+    """Fused Pallas scan (interpret mode on CPU) vs naive ground truth."""
+
+    def _run(self, metric, storage_dtype=None, n=6000, d=48, nq=96, k=10):
+        import jax.numpy as jnp
+        from cuvs_tpu.neighbors import ivf_flat
+        from tests.utils import naive_knn, calc_recall
+
+        rng = np.random.default_rng(7)
+        x = make_blobs(rng, n, d)
+        q = make_blobs(rng, nq, d)
+        idx = ivf_flat.build(x, n_lists=32, seed=0, metric=metric,
+                             storage_dtype=storage_dtype)
+        sp = ivf_flat.SearchParams(n_probes=32, scan_algo="fused")
+        dv, di = ivf_flat.search(idx, q, k, sp)
+        gtd, gti = naive_knn(q, x, k, metric=metric)
+        return calc_recall(np.asarray(di), gti, np.asarray(dv), gtd), dv, gtd
+
+    def test_l2_matches_exact(self):
+        rec, dv, gtd = self._run("sqeuclidean")
+        assert rec >= 0.99, rec
+        np.testing.assert_allclose(
+            np.sort(np.asarray(dv), axis=1)[:, :5],
+            np.sort(gtd, axis=1)[:, :5], rtol=1e-3, atol=1e-2,
+        )
+
+    def test_inner_product(self):
+        rec, _, _ = self._run("inner_product")
+        assert rec >= 0.99, rec
+
+    def test_int8_storage(self):
+        rec, _, _ = self._run("sqeuclidean", storage_dtype=np.int8)
+        assert rec >= 0.9, rec
+
+    def test_matches_unfused_tiled(self):
+        import jax.numpy as jnp
+        from cuvs_tpu.neighbors import ivf_flat
+
+        rng = np.random.default_rng(3)
+        x = make_blobs(rng, 4000, 40)
+        q = make_blobs(rng, 64, 40)
+        idx = ivf_flat.build(x, n_lists=16, seed=0)
+        df, i_f = ivf_flat.search(
+            idx, q, 10, ivf_flat.SearchParams(n_probes=16, scan_algo="fused"))
+        dc, i_c = ivf_flat.search(
+            idx, q, 10, ivf_flat.SearchParams(n_probes=16, scan_algo="cluster_major"))
+        # same probes, exact bins vs exact sort: ids must agree (ties aside)
+        agree = np.mean([
+            len(set(a.tolist()) & set(b.tolist())) / 10
+            for a, b in zip(np.asarray(i_f), np.asarray(i_c))
+        ])
+        assert agree >= 0.98, agree
+        np.testing.assert_allclose(np.asarray(df), np.asarray(dc),
+                                   rtol=1e-3, atol=1e-2)

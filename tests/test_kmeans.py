@@ -82,3 +82,31 @@ def test_find_k():
     x, _, _ = _blob_data(1000, 8, 4)
     best_k, centers, inertia = kmeans.find_k(x, kmax=16, kmin=2)
     assert 3 <= best_k <= 16
+
+
+@pytest.mark.slow
+def test_balanced_bounds_max_list():
+    """Soft balancing must bound max_list/avg on clustered data
+    (kmeans_balanced.cuh:645-810 balancing_em_iters semantics): the padded
+    TPU scan window scales with the max list, so this is a perf invariant,
+    not just quality."""
+    from cuvs_tpu.cluster import kmeans_balanced
+
+    rng = np.random.default_rng(11)
+    # heavy-tailed blobs: a few dominant modes + background
+    n, d, k = 80_000, 24, 256
+    centers = rng.standard_normal((16, d)).astype(np.float32) * 3
+    sizes = (np.array([0.4, 0.2, 0.1] + [0.3 / 13] * 13) * n).astype(int)
+    sizes[-1] += n - sizes.sum()
+    parts = [
+        centers[i] + rng.standard_normal((s, d)).astype(np.float32)
+        for i, s in enumerate(sizes)
+    ]
+    x = np.concatenate(parts, axis=0)
+
+    c = kmeans_balanced.fit(x, k, kmeans_balanced.BalancedParams(
+        n_clusters=k, n_iters=10, balancing_em_iters=5, seed=0))
+    labels = np.asarray(kmeans_balanced.predict(x, c))
+    counts = np.bincount(labels, minlength=k)
+    ratio = counts.max() / (n / k)
+    assert ratio <= 4.0, f"max_list/avg = {ratio:.2f}"
