@@ -107,6 +107,15 @@ def _center_norms(centers, metric):
     return pairwise.row_norms(centers, squared=True)
 
 
+def _norm_pad_len(n: int, window: int) -> int:
+    """Total sorted_norms length: past n + window, extra room so the fused
+    Pallas scan's 1024-aligned norm-window DMA (ops/ivf_scan_pallas.py)
+    never reads out of bounds and the [*, 128] reshape is exact."""
+    n_pad_rows = n + window
+    wn = -(-(window + 1024) // 1024) * 1024
+    return (n_pad_rows // 1024 + 1) * 1024 + wn
+
+
 def _pack(dataset, ids, labels, centers, metric, n_lists, adaptive,
           storage_dtype=None, q_scale=None, norms=None):
     """Assemble the index from labeled rows (shared by build/extend)."""
@@ -139,7 +148,10 @@ def _pack(dataset, ids, labels, centers, metric, n_lists, adaptive,
     sorted_data = jnp.concatenate(
         [rows, jnp.zeros((window, rows.shape[1]), rows.dtype)], axis=0
     )
-    sorted_norms = jnp.pad(norms[order], (0, window))
+    n_rows_total = int(dataset.shape[0])
+    sorted_norms = jnp.pad(
+        norms[order], (0, _norm_pad_len(n_rows_total, window) - n_rows_total)
+    )
     return Index(
         centers=centers,
         center_norms=_center_norms(centers, metric),
@@ -323,7 +335,7 @@ def build_streaming(
             ).astype(jnp.int8)
         )
         data = jnp.zeros((n + window, dp), jnp.int8)
-        norms_a = jnp.zeros((n + window,), jnp.float32)
+        norms_a = jnp.zeros((_norm_pad_len(n, window),), jnp.float32)
         labels_a = jnp.full((n + window,), -1, jnp.int32)
         ids_a = jnp.zeros((n + window,), jnp.int32)
         scj = jnp.float32(q_scale)
@@ -345,7 +357,7 @@ def build_streaming(
         sorted_data, sorted_norms = data, norms_a
     else:
         data_h = np.zeros((n + window, d), np.int8)
-        norms_h2 = np.zeros((n + window,), np.float32)
+        norms_h2 = np.zeros((_norm_pad_len(n, window),), np.float32)
         labels_ah = np.full((n + window,), -1, np.int32)
         ids_ah = np.zeros((n + window,), np.int32)
         for i in range(n_slices):

@@ -48,6 +48,8 @@ class IndexParams:
     pq_bits: int = 8
     kmeans_n_iters: int = 20
     bf16_residuals: bool = False  # store bf16 residuals instead of PQ
+    reordering_bf16: bool = False  # also keep a bf16 dataset copy
+    # (scann.hpp:70-71) for ScaNN's exact re-rank stage
     seed: int = 0
 
     def __post_init__(self):
@@ -62,6 +64,9 @@ class Index:
     codes: Optional[np.ndarray]  # [n, pq_dim] uint8 PQ codes of residuals
     pq_codebooks: Optional[np.ndarray]  # [pq_dim, book, pq_len]
     residuals_bf16: Optional[np.ndarray]  # alternative storage
+    codes_soar: Optional[np.ndarray] = None  # [n, pq_dim] codes of the
+    # residuals vs the SOAR center (scann_build.cuh:214-223)
+    bf16_dataset: Optional[np.ndarray] = None  # [n, d] bf16 dataset copy
     params: IndexParams = None
 
     @property
@@ -125,7 +130,7 @@ def build(dataset, params: Optional[IndexParams] = None, **kw) -> Index:
         soar = np.asarray(_soar_assign(x, centers, labels, params.soar_lambda))
 
     residuals = x - centers[labels]
-    codes = books = res_bf16 = None
+    codes = books = res_bf16 = codes_soar = None
     if params.bf16_residuals:
         res_bf16 = np.asarray(residuals.astype(jnp.bfloat16))
     else:
@@ -136,7 +141,15 @@ def build(dataset, params: Optional[IndexParams] = None, **kw) -> Index:
                          seed=params.seed)
         codes = np.asarray(q.pq_transform(pqq, np.asarray(residuals)))
         books = np.asarray(pqq.codebooks)
+        if soar is not None:
+            # SOAR residuals quantized with the SAME codebooks
+            # (scann_build.cuh:214-223)
+            soar_res = np.asarray(x - centers[soar])
+            codes_soar = np.asarray(q.pq_transform(pqq, soar_res))
 
+    bf16_ds = (
+        np.asarray(x.astype(jnp.bfloat16)) if params.reordering_bf16 else None
+    )
     return Index(
         centers=np.asarray(centers),
         labels=np.asarray(labels),
@@ -144,41 +157,79 @@ def build(dataset, params: Optional[IndexParams] = None, **kw) -> Index:
         codes=codes,
         pq_codebooks=books,
         residuals_bf16=res_bf16,
+        codes_soar=codes_soar,
+        bf16_dataset=bf16_ds,
         params=params,
     )
 
 
 def serialize(index: Index, directory: str) -> None:
-    """Write the index as a ScaNN-style asset directory.
+    """Write the index as a ScaNN asset directory with the EXACT layout of
+    the reference (scann_serialize.cuh:106-142): per-asset .npy files plus
+    ``cuvs_metadata.bin`` (raw little-endian scalars: i32 version=1,
+    u32 dim, u32 pq_dim). The reference notes these assets are consumed
+    by OSS ScaNN / an external proto-conversion tool; labels and
+    quantized vectors load directly.
 
-    The reference emits ScaNN's protobuf assets (scann_serialize.cuh);
-    exact proto-level parity is pending — this writes the same logical
-    assets (partitioner, datapoint->partition maps, PQ codebooks/codes)
-    as documented .npy files plus a JSON manifest.
+    * ``centers.npy``              — [n_lists, d] f32 partition centers
+    * ``datapoint_to_token.npy``   — i32 [2n] interleaved (primary, soar)
+      with soar = -1 when equal to primary (save_labels semantics,
+      scann_serialize.cuh:56-89)
+    * ``pq_codebook.npy``          — PQ codebooks, f32
+    * ``hashed_dataset.npy``       — u8 [n, pq_dim] residual codes
+    * ``hashed_dataset_soar.npy``  — u8 [n, pq_dim] SOAR-residual codes
+    * ``bf16_dataset.npy``         — i16 [n, d] bf16 bit patterns (only
+      when built with reordering_bf16, scann.hpp:70-71)
+    A ``scann_config.json`` manifest is written alongside for this
+    library's own round-trip (the reference tool ignores extra files).
     """
+    import struct
+
     os.makedirs(directory, exist_ok=True)
-    np.save(os.path.join(directory, "partition_centroids.npy"), index.centers)
-    np.save(os.path.join(directory, "datapoint_partitions.npy"), index.labels)
-    if index.soar_labels is not None:
-        np.save(os.path.join(directory, "soar_partitions.npy"), index.soar_labels)
+    n = index.size
+    d = index.centers.shape[1]
+    pq_dim = 0 if index.pq_codebooks is None else index.pq_codebooks.shape[0]
+    with open(os.path.join(directory, "cuvs_metadata.bin"), "wb") as f:
+        f.write(struct.pack("<iII", 1, d, pq_dim))
+
+    np.save(os.path.join(directory, "centers.npy"),
+            np.asarray(index.centers, np.float32))
+
+    prim = np.asarray(index.labels, np.int32)
+    soar = (np.asarray(index.soar_labels, np.int32)
+            if index.soar_labels is not None else prim.copy())
+    soar = np.where(soar == prim, np.int32(-1), soar)
+    combined = np.empty((2 * n,), np.int32)
+    combined[0::2] = prim
+    combined[1::2] = soar
+    np.save(os.path.join(directory, "datapoint_to_token.npy"), combined)
+
     if index.codes is not None:
-        np.save(os.path.join(directory, "hashed_dataset.npy"), index.codes)
-        np.save(os.path.join(directory, "pq_codebooks.npy"), index.pq_codebooks)
+        np.save(os.path.join(directory, "pq_codebook.npy"),
+                np.asarray(index.pq_codebooks, np.float32))
+        np.save(os.path.join(directory, "hashed_dataset.npy"),
+                np.asarray(index.codes, np.uint8))
+        cs = index.codes_soar if index.codes_soar is not None else index.codes
+        np.save(os.path.join(directory, "hashed_dataset_soar.npy"),
+                np.asarray(cs, np.uint8))
+    if index.bf16_dataset is not None:
+        np.save(os.path.join(directory, "bf16_dataset.npy"),
+                np.asarray(index.bf16_dataset).view(np.uint16).astype(np.int16))
     if index.residuals_bf16 is not None:
-        np.save(
-            os.path.join(directory, "bf16_dataset.npy"),
-            index.residuals_bf16.astype(np.float32),
-        )
+        np.save(os.path.join(directory, "bf16_residuals.npy"),
+                np.asarray(index.residuals_bf16, np.float32))
     manifest = {
-        "format": "cuvs_tpu.scann.v1",
+        "format": "cuvs_tpu.scann.v2",
         "n_lists": int(index.centers.shape[0]),
-        "dim": int(index.centers.shape[1]),
-        "n_rows": int(index.size),
+        "dim": int(d),
+        "n_rows": int(n),
         "metric": int(index.params.metric),
         "soar_lambda": index.params.soar_lambda,
         "partitioning_eta": index.params.partitioning_eta,
         "pq_bits": index.params.pq_bits,
         "seed": index.params.seed,
+        "has_soar": index.soar_labels is not None,
+        "reordering_bf16": index.bf16_dataset is not None,
     }
     with open(os.path.join(directory, "scann_config.json"), "w") as f:
         json.dump(manifest, f, indent=2)
@@ -186,23 +237,32 @@ def serialize(index: Index, directory: str) -> None:
 
 def deserialize(directory: str) -> Index:
     """Read a ScaNN asset directory written by :func:`serialize` back into
-    an :class:`Index` (round-trip verification; the reference's assets are
-    likewise reloadable by CPU ScaNN)."""
+    an :class:`Index` (round-trip verification; the same assets are
+    loadable by the reference's external conversion tooling)."""
+    import ml_dtypes
+
     with open(os.path.join(directory, "scann_config.json")) as f:
         manifest = json.load(f)
-    if manifest.get("format") != "cuvs_tpu.scann.v1":
+    if manifest.get("format") not in ("cuvs_tpu.scann.v1", "cuvs_tpu.scann.v2"):
         raise ValueError("not a cuvs_tpu scann asset directory")
 
     def opt(name):
         p = os.path.join(directory, name)
         return np.load(p) if os.path.exists(p) else None
 
-    centers = np.load(os.path.join(directory, "partition_centroids.npy"))
-    labels = np.load(os.path.join(directory, "datapoint_partitions.npy"))
-    soar = opt("soar_partitions.npy")
+    centers = np.load(os.path.join(directory, "centers.npy"))
+    combined = np.load(os.path.join(directory, "datapoint_to_token.npy"))
+    labels = combined[0::2]
+    soar = combined[1::2].copy()
+    has_soar = manifest.get("has_soar", bool((soar >= 0).any()))
+    soar = np.where(soar < 0, labels, soar) if has_soar else None
     codes = opt("hashed_dataset.npy")
-    books = opt("pq_codebooks.npy")
-    res_bf16 = opt("bf16_dataset.npy")
+    codes_soar = opt("hashed_dataset_soar.npy")
+    books = opt("pq_codebook.npy")
+    res_bf16 = opt("bf16_residuals.npy")
+    bf16_ds = opt("bf16_dataset.npy")
+    if bf16_ds is not None:
+        bf16_ds = bf16_ds.astype(np.int16).view(np.uint16).view(ml_dtypes.bfloat16)
     params = IndexParams(
         n_lists=manifest["n_lists"],
         metric=DistanceType(manifest["metric"]),
@@ -211,6 +271,7 @@ def deserialize(directory: str) -> Index:
         spilling=soar is not None,
         pq_bits=manifest.get("pq_bits", 8),
         bf16_residuals=res_bf16 is not None,
+        reordering_bf16=bf16_ds is not None,
         seed=manifest.get("seed", 0),
     )
     return Index(
@@ -220,5 +281,7 @@ def deserialize(directory: str) -> Index:
         codes=codes,
         pq_codebooks=books,
         residuals_bf16=res_bf16,
+        codes_soar=codes_soar,
+        bf16_dataset=bf16_ds,
         params=params,
     )

@@ -12,8 +12,12 @@ This kernel keeps the whole scan on-chip per tile:
 
   grid = (n_tiles,) over the fixed-width pair tiles of group_pairs_tiled
   1. the tile's cluster window (rows + norms) is DMA'd HBM->VMEM by a
-     PREFETCHED 128-aligned offset, double-buffered across grid steps so
-     the next window streams while the current one is scored;
+     PREFETCHED aligned offset, double-buffered across grid steps so the
+     next window streams while the current one is scored. Data rows are
+     sliced at 128-row alignment (int8/bf16/f32 sublane tilings all
+     divide 128); norms are a [n/128, 128] 2-D layout sliced at 1024-row
+     alignment (Mosaic's f32 tile is (8, 128) — a flat 1-D f32 array
+     only slices at 1024-element granularity, measured on-device);
   2. the tile's M query rows are materialized from the VMEM-resident
      query block with a one-hot MXU matmul (scattered row gathers are
      row-rate bound on TPU — measured round 2; a [M, nq] one-hot times
@@ -22,8 +26,8 @@ This kernel keeps the whole scan on-chip per tile:
      MXU), L2/IP epilogue against exact f32 norms, validity mask from the
      prefetched [lo, lo+size) range;
   4. per-128-lane-bin minima (the approx_min_k bin semantics) reduced in
-     VMEM: each tile writes only [M, F] bf16/f32 values + uint8 in-bin
-     offsets (F = window/128) — ~40 KB instead of a 4 MB slice of the
+     VMEM: each tile writes only [M, cap*F] values + uint8 in-bin
+     offsets (F = window/128) — KBs instead of a 4 MB slice of the
      order tensor.
 
 Bin capacity: IVF concentrates a query's true top-k inside its nearest
@@ -31,9 +35,10 @@ probed cluster, so a 1-deep bin reduction (the brute-force approx-kernel
 semantics) loses every collision within that cluster's few bins. The
 kernel therefore keeps the best ``cap`` rows PER BIN (cap extra
 masked-max VPU rounds, cheap next to the matmul); callers size
-``cap * window/128 >= ~2k`` so per-cluster candidate capacity clears k.
-Residual loss = a query having > cap of its true top-k in one 128-row
-bin of one cluster. refine() recovers the tail.
+``cap * list_size/128 >= ~2k`` so per-cluster candidate capacity clears
+k (cap >= k makes the per-window selection exact). Residual loss = a
+query having > cap of its true top-k in ONE 128-row bin of one cluster.
+refine() recovers the tail.
 """
 
 from __future__ import annotations
@@ -58,16 +63,17 @@ def _scan_kernel(
     q_ref,       # [nq_pad, d] queries, compute dtype (VMEM resident)
     scale_ref,   # [1, 1] f32 dots scale (q_scale**2 for int8, else 1.0)
     data_hbm,    # [n_pad, dp] dataset rows (HBM)
-    norms_hbm,   # [n_pad] f32 squared row norms (HBM)
+    norms_hbm,   # [n_norm/128, 128] f32 squared row norms (HBM)
     # outputs
-    out_v_ref,   # [1, M, F] f32 bin-min order values
-    out_i_ref,   # [1, M, F] uint8 in-bin offsets
+    out_v_ref,   # [1, M, cap*F] f32 bin-min order values
+    out_i_ref,   # [1, M, cap*F] uint8 in-bin offsets
     # scratch
     data_buf,    # [2, W, dp] VMEM
-    norm_buf,    # [2, W] f32 VMEM
+    norm_buf,    # [2, Wn/128, 128] f32 VMEM
     sems,        # DMA semaphores [2, 2]
     *,
     W: int,
+    Wn: int,
     inner: int,
     ip: bool,
     int8_mode: bool,
@@ -80,14 +86,21 @@ def _scan_kernel(
 
     def window_dma(slot, tile):
         start = al_ref[tile]
-        return (
+        dmas = [
             pltpu.make_async_copy(
-                data_hbm.at[pl.ds(start, W), :], data_buf.at[slot], sems.at[slot, 0]
-            ),
-            pltpu.make_async_copy(
-                norms_hbm.at[pl.ds(start, W)], norm_buf.at[slot], sems.at[slot, 1]
-            ),
-        )
+                data_hbm.at[pl.ds(start, W), :], data_buf.at[slot],
+                sems.at[slot, 0],
+            )
+        ]
+        if not ip:  # IP ranking needs no norms
+            nrow = (start // 1024) * 8  # 1024-aligned start, in 128-rows
+            dmas.append(
+                pltpu.make_async_copy(
+                    norms_hbm.at[pl.ds(nrow, Wn // 128), :],
+                    norm_buf.at[slot], sems.at[slot, 1],
+                )
+            )
+        return dmas
 
     @pl.when(t == 0)
     def _():
@@ -120,6 +133,9 @@ def _scan_kernel(
     lo = lo_ref[t]
     hi = lo + sz_ref[t]
     scale = scale_ref[0, 0]
+    # norm rows sit (al % 1024)/128 rows past the norm window start
+    nshift = (al_ref[t] // 128) % 8
+    F_tot = W // 128
 
     # score the window in `inner`-wide chunks so the f32 distance block
     # stays bounded regardless of window size
@@ -131,28 +147,28 @@ def _scan_kernel(
         else:
             dots = jnp.dot(qtile, data.T, preferred_element_type=jnp.float32
                            ) * scale
+        fj = inner // 128
+        dots_b = dots.reshape(M, fj, 128)
         if ip:
-            order = -dots  # min-space
+            order = -dots_b  # min-space
         else:
             # ranking omits the per-query norm (constant per row across
             # the whole search): order = ||y||^2 - 2 q.y
-            nrm = norm_buf[slot, j * inner : (j + 1) * inner].reshape(1, inner)
-            order = nrm - 2.0 * dots
-        cix = jax.lax.broadcasted_iota(jnp.int32, (M, inner), 1) + j * inner
-        order = jnp.where((cix >= lo) & (cix < hi), order, jnp.inf)
-
-        fj = inner // 128
-        F_tot = W // 128
-        blocks = (-order).reshape(M, fj, 128)
+            nrm = norm_buf[slot, pl.ds(nshift + j * fj, fj), :]  # [fj, 128]
+            order = nrm[None, :, :] - 2.0 * dots_b
+        fcol = jax.lax.broadcasted_iota(jnp.int32, (M, fj, 128), 1)
         lane = jax.lax.broadcasted_iota(jnp.int32, (M, fj, 128), 2)
+        cix = j * inner + fcol * 128 + lane
+        neg = jnp.where((cix >= lo) & (cix < hi), -order, -jnp.inf)
+
         for r in range(cap):
-            m = jnp.max(blocks, axis=2)
-            am = jnp.argmax(blocks, axis=2)
+            m = jnp.max(neg, axis=2)
+            am = jnp.argmax(neg, axis=2)
             c0 = r * F_tot + j * fj
             out_v_ref[0, :, c0 : c0 + fj] = (-m).astype(out_v_ref.dtype)
             out_i_ref[0, :, c0 : c0 + fj] = am.astype(jnp.uint8)
             if r + 1 < cap:
-                blocks = jnp.where(lane == am[:, :, None], -jnp.inf, blocks)
+                neg = jnp.where(lane == am[:, :, None], -jnp.inf, neg)
 
 
 @functools.partial(
@@ -162,7 +178,7 @@ def _scan_kernel(
 )
 def fused_ivf_scan(
     sorted_data,   # [n_pad, dp] rows grouped by list (int8/bf16/f32)
-    sorted_norms,  # [n_pad] f32 squared norms of the ORIGINAL rows
+    sorted_norms,  # [n_norm] f32 squared norms of the ORIGINAL rows
     queries,       # [nq, d] compute dtype (int8 pre-quantized / bf16 / f32)
     qidx,          # [n_tiles, M] int32 query per slot (-1 empty)
     starts_al,     # [n_tiles] int32 128-aligned window starts
@@ -185,6 +201,17 @@ def fused_ivf_scan(
     nq, d = queries.shape
     dp = sorted_data.shape[1]
     F = cap * (W // 128)
+    # norm window: covers the <=896-row shift between the data window's
+    # 128-aligned start and the norm DMA's 1024-aligned start
+    Wn = -(-(W + 896) // 1024) * 1024
+    # the norm array must reach any 1024-aligned start + Wn and reshape
+    # to [*, 128]; build paths pre-pad (ivf_flat._pack) — this pad is a
+    # no-op there and a correctness fallback elsewhere
+    need = (sorted_data.shape[0] // 1024 + 1) * 1024 + Wn
+    if sorted_norms.shape[0] < need:
+        sorted_norms = jnp.pad(sorted_norms,
+                               (0, need - sorted_norms.shape[0]))
+    norms2 = sorted_norms[: (sorted_norms.shape[0] // 128) * 128].reshape(-1, 128)
     # query block must tile the MXU contraction: pad rows to sublane align
     align = 32 if int8_mode else 8
     nq_pad = -(-nq // align) * align
@@ -208,12 +235,12 @@ def fused_ivf_scan(
         ],
         scratch_shapes=[
             pltpu.VMEM((2, W, dp), sorted_data.dtype),
-            pltpu.VMEM((2, W), jnp.float32),
+            pltpu.VMEM((2, Wn // 128, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     kernel = functools.partial(
-        _scan_kernel, W=W, inner=inner, ip=ip, int8_mode=int8_mode,
+        _scan_kernel, W=W, Wn=Wn, inner=inner, ip=ip, int8_mode=int8_mode,
         nq_pad=nq_pad, cap=cap,
     )
     out_v, out_i = pl.pallas_call(
@@ -235,6 +262,6 @@ def fused_ivf_scan(
         qp,
         jnp.asarray(scale2, jnp.float32).reshape(1, 1),
         sorted_data,
-        sorted_norms,
+        norms2,
     )
     return out_v, out_i

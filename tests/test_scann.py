@@ -23,12 +23,14 @@ def test_build_and_assets(tmp_path):
 
     d = str(tmp_path / "scann_assets")
     scann.serialize(idx, d)
+    # reference asset layout (scann_serialize.cuh:106-142)
     for f in (
-        "partition_centroids.npy",
-        "datapoint_partitions.npy",
-        "soar_partitions.npy",
+        "cuvs_metadata.bin",
+        "centers.npy",
+        "datapoint_to_token.npy",
         "hashed_dataset.npy",
-        "pq_codebooks.npy",
+        "hashed_dataset_soar.npy",
+        "pq_codebook.npy",
         "scann_config.json",
     ):
         assert os.path.exists(os.path.join(d, f)), f
@@ -55,3 +57,55 @@ def test_bf16_storage():
     x = make_blobs(RNG, 1000, 8)
     idx = scann.build(x, n_lists=8, bf16_residuals=True, spilling=False, seed=0)
     assert idx.codes is None and idx.residuals_bf16 is not None
+
+
+def test_asset_bytes_golden(tmp_path):
+    """Byte-level check of the reference asset formats against a
+    hand-built fixture (scann_serialize.cuh:56-142 semantics)."""
+    import struct
+
+    centers = np.arange(12, dtype=np.float32).reshape(3, 4)
+    labels = np.array([0, 1, 2, 1], np.int32)
+    soar = np.array([1, 1, 0, 2], np.int32)  # row 1: equal -> -1 on disk
+    codes = np.array([[1, 2], [3, 4], [5, 6], [7, 8]], np.uint8)
+    books = np.zeros((2, 4, 2), np.float32)
+    idx = scann.Index(
+        centers=centers, labels=labels, soar_labels=soar, codes=codes,
+        pq_codebooks=books, residuals_bf16=None, codes_soar=codes,
+        params=scann.IndexParams(n_lists=3, pq_dim=2),
+    )
+    d = str(tmp_path / "assets")
+    scann.serialize(idx, d)
+
+    meta = open(os.path.join(d, "cuvs_metadata.bin"), "rb").read()
+    assert meta == struct.pack("<iII", 1, 4, 2)  # version, dim, pq_dim
+
+    tok = np.load(os.path.join(d, "datapoint_to_token.npy"))
+    assert tok.dtype == np.int32
+    # interleaved (primary, soar), soar = -1 where equal
+    np.testing.assert_array_equal(tok, [0, 1, 1, -1, 2, 0, 1, 2])
+
+    hashed = np.load(os.path.join(d, "hashed_dataset.npy"))
+    assert hashed.dtype == np.uint8
+    np.testing.assert_array_equal(hashed, codes)
+
+    idx2 = scann.deserialize(d)
+    np.testing.assert_array_equal(idx2.labels, labels)
+    np.testing.assert_array_equal(idx2.soar_labels, soar)
+
+
+def test_soar_codes_and_bf16_dataset(tmp_path):
+    x = make_blobs(RNG, 1200, 16)
+    idx = scann.build(x, n_lists=8, pq_dim=8, reordering_bf16=True, seed=0)
+    assert idx.codes_soar is not None and idx.codes_soar.shape == idx.codes.shape
+    assert (idx.codes_soar != idx.codes).any()
+    assert idx.bf16_dataset is not None
+    d = str(tmp_path / "assets")
+    scann.serialize(idx, d)
+    bf = np.load(os.path.join(d, "bf16_dataset.npy"))
+    assert bf.dtype == np.int16  # OSS ScaNN expects int16 bit patterns
+    idx2 = scann.deserialize(d)
+    np.testing.assert_array_equal(
+        np.asarray(idx2.bf16_dataset).view(np.uint16),
+        np.asarray(idx.bf16_dataset).view(np.uint16),
+    )
