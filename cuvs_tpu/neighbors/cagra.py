@@ -60,9 +60,71 @@ class IndexParams:
     # (halves beam-search HBM gather traffic; norms stay f32)
     guarantee_connectivity: bool = False  # MST-style augmentation
     # (graph_core.cuh:487-644) so every node is reachable
+    build_n_probes: int = 0  # ivf_pq graph-build probes (0 = auto); set
+    # by from_hnsw_params' efc heuristic (cagra.cpp:28-30)
 
     def __post_init__(self):
         object.__setattr__(self, "metric", normalize_metric(self.metric))
+
+    @staticmethod
+    def from_hnsw_params(
+        n_rows: int,
+        dim: int,
+        M: int,
+        ef_construction: int,
+        heuristic: str = "similar_search_performance",
+        metric: DistanceType = DistanceType.L2Expanded,
+    ) -> "IndexParams":
+        """Build params matching a target HNSW index (cagra.hpp:118-147,
+        heuristic bodies cpp/src/neighbors/cagra.cpp:13-56).
+
+        ``heuristic``: "similar_search_performance" tunes degrees so the
+        from-CAGRA HNSW matches the reference HNSW's recall/QPS curve;
+        "same_graph_footprint" matches the binary size
+        (graph_degree = 2*M). Small datasets (<1e6 rows) build the knn
+        graph with nn-descent (max_iterations scaled by efc), larger
+        ones with IVF-PQ (n_probes scaled by sqrt(n_lists) and efc).
+        """
+        h = heuristic.lower()
+        if h == "same_graph_footprint":
+            graph_degree = 2 * M
+            intermediate = 3 * M
+        elif h == "similar_search_performance":
+            graph_degree = 2 + 2 * M // 3
+            intermediate = M + M * ef_construction // 256
+        else:
+            raise ValueError(f"unknown heuristic {heuristic!r}")
+        intermediate = max(intermediate, graph_degree)
+        if n_rows < 1_000_000:
+            from cuvs_tpu.neighbors import nn_descent as nnd
+
+            return IndexParams(
+                intermediate_graph_degree=intermediate,
+                graph_degree=graph_degree,
+                metric=metric,
+                build_algo="nn_descent",
+                nn_descent_params=nnd.IndexParams(
+                    graph_degree=intermediate,
+                    intermediate_graph_degree=max(2 * intermediate, 32),
+                    max_iterations=5 + ef_construction // 16,
+                ),
+            )
+        import math
+
+        n_lists = max(1, int(math.sqrt(n_rows)))
+        return IndexParams(
+            intermediate_graph_degree=intermediate,
+            graph_degree=graph_degree,
+            metric=metric,
+            build_algo="ivf_pq",
+            ivf_pq_params=ivfpq.IndexParams(
+                n_lists=n_lists, metric=metric,
+            ),
+            # n_probes heuristic (cagra.cpp:28-30) is applied at build
+            # time via build_n_probes
+            build_n_probes=round(2 + math.sqrt(n_lists) / 20
+                                 + ef_construction / 16),
+        )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -344,6 +406,7 @@ def build(dataset, params: Optional[IndexParams] = None, **kw) -> Index:
         compute_dtype=params.build_compute_dtype,
         recall_target=params.build_recall_target,
         nn_descent_params=params.nn_descent_params,
+        n_probes=params.build_n_probes,
     )
     graph = graph_core.optimize(
         neighbors, gdeg,

@@ -597,6 +597,13 @@ def search(
         M = min(nq, -(-int(ivf_scan.max_occupancy(probe_ids, index.n_lists)) // 8) * 8)
         budget = 64 * 1024 * 1024 // 4
         chunk = max(1, min(index.n_lists, budget // max(M * index.window, 1)))
+        # per-128-bin selection (fused-kernel semantics): kills the
+        # [C, M, W] order tensor + per-row sorts; cap sized so
+        # per-cluster capacity clears ~2k (exact when lists are tiny) —
+        # PQ candidates feed refine() anyway, and filtered rows carry
+        # inf so the masked-max rounds skip them like the exact sort did
+        eff = max(1, index.n_rows // index.n_lists // 128)
+        bin_cap = int(min(k, 32, max(2, -(-2 * k) // eff)))
         return ivf_scan.cluster_major_scan_pq(
             index.sorted_codes,
             index.centers,
@@ -617,6 +624,7 @@ def search(
             int(index.pq_bits),
             index.codebook_gen,
             int(index.pq_dim),
+            bin_cap,
         )
 
     qchunk = int(min(params.max_internal_batch_size, max(64, nq)))

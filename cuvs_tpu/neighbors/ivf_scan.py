@@ -506,6 +506,7 @@ def cluster_major_scan_fused(
     static_argnames=(
         "k", "metric", "window", "max_per_cluster", "cluster_chunk",
         "compute_dtype", "recall_target", "pq_bits", "codebook_gen", "pq_dim_s",
+        "bin_cap",
     ),
 )
 def cluster_major_scan_pq(
@@ -528,6 +529,7 @@ def cluster_major_scan_pq(
     pq_bits=8,
     codebook_gen="per_subspace",
     pq_dim_s=0,
+    bin_cap=0,
 ):
     """IVF-PQ cluster-major search via decode-and-dot.
 
@@ -539,6 +541,14 @@ def cluster_major_scan_pq(
     gather per subspace, shared by every query probing the cluster) and
     scored with one batched MXU matmul — mathematically identical to ADC
     for both L2 and IP.
+
+    ``bin_cap > 0`` switches the per-window selection from an exact
+    per-row top-k sort to ``bin_cap`` masked-max rounds over 128-lane
+    bins (the fused-kernel semantics, ops/ivf_scan_pallas.py): XLA fuses
+    the reduction into the matmul consumer, so the [C, M, W] order
+    tensor never reaches HBM — measured as the dominant cost of this
+    path. PQ rankings feed refine() anyway, so the bin approximation is
+    free in practice.
     """
     nq, d = queries_f32.shape
     n_lists = lists.offsets.shape[0]
@@ -560,7 +570,8 @@ def cluster_major_scan_pq(
     pad_l = (-n_lists) % cluster_chunk
     qidx_p = jnp.pad(qidx, ((0, pad_l), (0, 0)), constant_values=-1)
     cl_ids = jnp.arange(n_lists + pad_l, dtype=jnp.int32)
-    kk = min(k, window)
+    F = window // 128
+    kk = min(bin_cap, 128) * F if bin_cap else min(k, window)
     sub_ids = jnp.arange(pq_dim, dtype=jnp.int32)
 
     def chunk_fn(args):
@@ -604,6 +615,28 @@ def cluster_major_scan_pq(
         if mask is not None:
             valid = jnp.logical_and(valid, mask)
         order = jnp.where(valid, order, jnp.inf)
+
+        if bin_cap:
+            # per-128-bin masked-max rounds (ops/ivf_scan_pallas.py
+            # semantics): fuses into the matmul consumer, so the
+            # [C, M, W] order tensor never reaches HBM
+            cap = min(bin_cap, 128)
+            neg = (-order).reshape(C * M, F, 128)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (C * M, F, 128), 2)
+            fbase = jax.lax.broadcasted_iota(jnp.int32, (C * M, F), 1) * 128
+            vs, is_ = [], []
+            for r_i in range(cap):
+                mv = jnp.max(neg, axis=2)
+                am = jnp.argmax(neg, axis=2)
+                pos = (fbase + am).reshape(C, M, F)
+                vs.append(-mv)
+                is_.append(jnp.take_along_axis(ids_w[:, None, :], pos, axis=2))
+                if r_i + 1 < cap:
+                    neg = jnp.where(lane == am[:, :, None], -jnp.inf, neg)
+            tv = jnp.concatenate(vs, axis=1).reshape(C, M, kk)
+            ti = jnp.concatenate([i.reshape(C * M, F) for i in is_],
+                                 axis=1).reshape(C, M, kk)
+            return tv, ti
 
         o2 = order.reshape(C * M, window)
         tv, tl = topk(o2, kk, True, recall_target)

@@ -53,6 +53,7 @@ def build_knn_graph(
     compute_dtype=None,
     recall_target=None,
     nn_descent_params=None,
+    n_probes: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """k-NN graph over the dataset (self-edges removed).
 
@@ -130,7 +131,7 @@ def build_knn_graph(
             )
         index = ivfpq.build(dataset, ivf_pq_params)
         n_cand = int((k + 1) * refine_ratio)
-        n_probes = max(20, ivf_pq_params.n_lists // 20)
+        n_probes = n_probes or max(20, ivf_pq_params.n_lists // 20)
         all_ids = []
         all_dists = []
         for s in range(0, n, query_batch):

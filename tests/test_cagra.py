@@ -243,3 +243,32 @@ def test_packed_search_filtered():
     returned = np.isfinite(d)
     assert not np.any(i[returned] % 2 == 0), "filtered ids returned"
     assert returned.any()
+
+
+def test_from_hnsw_params():
+    """Heuristic mapping parity (cagra.hpp:118-147; cagra.cpp:34-56)."""
+    p = cagra.IndexParams.from_hnsw_params(500_000, 96, 32, 200)
+    # similar_search_performance: degree = 2 + 2M/3, intermediate = M + M*efc/256
+    assert p.graph_degree == 2 + 2 * 32 // 3
+    assert p.intermediate_graph_degree == 32 + 32 * 200 // 256
+    assert p.build_algo == "nn_descent"
+    assert p.nn_descent_params.max_iterations == 5 + 200 // 16
+
+    p2 = cagra.IndexParams.from_hnsw_params(
+        5_000_000, 96, 32, 128, heuristic="same_graph_footprint")
+    assert p2.graph_degree == 64 and p2.intermediate_graph_degree == 96
+    assert p2.build_algo == "ivf_pq" and p2.build_n_probes > 0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        cagra.IndexParams.from_hnsw_params(1000, 8, 8, 64, heuristic="nope")
+
+
+def test_from_hnsw_params_builds():
+    rng = np.random.default_rng(17)
+    x = make_blobs(rng, 3000, 24)
+    q = make_blobs(rng, 32, 24)
+    idx = cagra.build(x, cagra.IndexParams.from_hnsw_params(3000, 24, 12, 64))
+    d, i = cagra.search(idx, q, 5, itopk_size=32)
+    gtd, gti = naive_knn(q, x, 5)
+    assert calc_recall(np.asarray(i), gti, np.asarray(d), gtd) >= 0.8
