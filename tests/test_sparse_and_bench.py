@@ -159,3 +159,22 @@ def test_truncated_load_drops_provided_groundtruth(tmp_path, monkeypatch):
     cut = datasets.load("test-data", max_rows=1000)
     assert cut.base.shape[0] == 1000
     assert cut.gt_ids is None
+
+
+def test_hnsw_cpu_competitor():
+    """CPU HNSW baseline (native/hnsw_baseline.cpp): recall sanity on
+    blobs + the bench seam the reference gets from its hnswlib wrapper."""
+    from cuvs_tpu.bench.competitors import HnswCpu
+    from tests.utils import naive_knn, calc_recall, make_blobs
+
+    rng = np.random.default_rng(23)
+    x = make_blobs(rng, 5000, 32)
+    q = make_blobs(rng, 64, 32)
+    h = HnswCpu(M=16, ef_construction=100, seed=0).build(x)
+    # blob data needs a wide beam to bridge clusters (classic HNSW
+    # behavior; uniform data clears 0.98 at ef=64)
+    d, i = h.search(q, 10, ef=256)
+    gtd, gti = naive_knn(q, x, 10)
+    rec = calc_recall(i, gti, d, gtd)
+    assert rec >= 0.9, rec
+    assert h.build_seconds is not None
