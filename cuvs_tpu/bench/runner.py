@@ -92,6 +92,15 @@ def _algo_table(ds):
             lambda p: cagra.build(ds.base, metric=ds.metric, **p),
             lambda ix, q, k, p: cagra.search(ix, q, k, **p),
         ),
+        # competitor row (reference: cpp/bench/ann/src/hnswlib/) — CPU
+        # single-thread HNSW, independent implementation
+        # (native/hnsw_baseline.cpp; hnswlib is not vendorable offline)
+        "hnsw_cpu": (
+            lambda p: __import__(
+                "cuvs_tpu.bench.competitors", fromlist=["HnswCpu"]
+            ).HnswCpu(metric=ds.metric, **p).build(np.asarray(ds.base, np.float32)),
+            lambda ix, q, k, p: ix.search(np.asarray(q, np.float32), k, **p),
+        ),
     }
 
 
