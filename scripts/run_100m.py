@@ -1,0 +1,132 @@
+"""DEEP-100M-shape single-chip benchmark (BASELINE config 5, one v5e).
+
+Flow (docs/scale.md):
+  1. generate 100M x 96 synthetic host-side (SFC64 — the only host RNG
+     fast enough on this box; the SAME array later serves as the exact
+     f32 refine source, which is why generation cannot happen on-device);
+  2. `ivf_flat.build_streaming` (host mode): slices upload for labeling,
+     int8 rows land in their final grouped positions — the 38 GB f32
+     dataset never exists on the device;
+  3. exact ground truth by streaming bf16 brute force over slices;
+  4. serve: fused int8 cluster-major scan (ops/ivf_scan_pallas.py) at
+     n_probes in {128, 256}, then + host-side exact re-rank
+     (refine.refine_host — gathers only the candidate rows from host
+     RAM, ~60 MB per 4096-query batch, riding the fast upload path).
+
+Prints one line per config: recall@10 + QPS. Expect ~12 GB HBM for the
+index and ~45 GB host RAM. Reproduces the docs/benchmarks.md 100M table.
+"""
+
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.jax_cache"))
+
+import numpy as np
+
+N = int(os.environ.get("N_ROWS", 100_000_000))
+D = 96
+NQ = int(os.environ.get("NQ", 4096))
+K = 10
+SLICE = 2_000_000
+N_LISTS = int(os.environ.get("N_LISTS", 16384))
+CAND = int(os.environ.get("CAND", 40))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from cuvs_tpu.neighbors import brute_force, ivf_flat, refine
+    from cuvs_tpu.ops import bf_topk_pallas
+    from cuvs_tpu.selection.select_k import merge_parts
+
+    rng = np.random.Generator(np.random.SFC64(0))
+    r = D // 4
+    proj = (rng.standard_normal((r, D)).astype(np.float32) / np.sqrt(r))
+
+    t0 = time.time()
+    x = np.empty((N, D), np.float32)
+    for s in range(0, N, SLICE):
+        e = min(s + SLICE, N)
+        g = rng.standard_normal((e - s, r), dtype=np.float32)
+        x[s:e] = g @ proj
+        x[s:e] += 0.05 * rng.standard_normal((e - s, D), dtype=np.float32)
+    q = rng.standard_normal((NQ, r), dtype=np.float32) @ proj
+    q += 0.05 * rng.standard_normal((NQ, D), dtype=np.float32)
+    print(f"# host data gen: {time.time()-t0:.0f}s "
+          f"({x.nbytes/2**30:.1f} GB)", file=sys.stderr, flush=True)
+
+    # ---- streaming build: only int8 rows + one slice ever on device ----
+    t0 = time.time()
+    n_slices = -(-N // SLICE)
+    idx = ivf_flat.build_streaming(
+        lambda i: x[i * SLICE : (i + 1) * SLICE],
+        n_slices,
+        n_lists=N_LISTS,
+        trainset_rows=2_000_000,
+        kmeans_n_iters=10,
+        seed=0,
+    )
+    jax.block_until_ready(idx.sorted_data)
+    build_s = time.time() - t0
+    sizes = np.asarray(idx.lists.sizes)
+    print(f"# build_streaming: {build_s:.0f}s window={idx.window} "
+          f"max/avg={sizes.max()/sizes.mean():.2f}",
+          file=sys.stderr, flush=True)
+
+    # ---- exact GT: streaming bf16 fused scans over host slices ----
+    t0 = time.time()
+    qd = jax.device_put(q)
+    parts_d, parts_i = [], []
+    for s in range(0, N, SLICE * 2):
+        e = min(s + SLICE * 2, N)
+        blk = jax.device_put(x[s:e]).astype(jnp.bfloat16)
+        d_, i_ = bf_topk_pallas.search(
+            blk, None, qd, K, compute_dtype=jnp.bfloat16, exact=False)
+        parts_d.append(np.asarray(d_))
+        parts_i.append(np.asarray(i_) + s)
+        del blk
+    gtd, gti = merge_parts(parts_d, parts_i, K, select_min=True)
+    gti = np.asarray(gti)
+    print(f"# ground truth: {time.time()-t0:.0f}s", file=sys.stderr, flush=True)
+
+    def recall(i):
+        return float(np.mean([
+            len(set(a.tolist()) & set(b.tolist())) / K
+            for a, b in zip(np.asarray(i), gti)
+        ]))
+
+    def bench(label, fn, reps=3):
+        dv, di = fn()
+        jax.block_until_ready(jax.tree.leaves(dv)[0]
+                              if not hasattr(dv, "block_until_ready") else dv)
+        rec = recall(di)
+        t0 = time.time()
+        for _ in range(reps):
+            out = fn()
+        jax.block_until_ready(out[0])
+        qps = NQ * reps / (time.time() - t0)
+        print(f"{label}: recall@10={rec:.4f} qps={qps:.0f}", flush=True)
+
+    for p in (128, 256):
+        sp = ivf_flat.SearchParams(n_probes=p, scan_algo="fused",
+                                   recall_target=0.97)
+        bench(f"int8 fused p={p}", lambda: ivf_flat.search(idx, qd, K, sp))
+
+    # ---- + host-side exact re-rank (refine_host.hpp semantics) ----
+    for p in (128, 256):
+        sp = ivf_flat.SearchParams(n_probes=p, scan_algo="fused",
+                                   recall_target=0.97)
+
+        def rsearch():
+            _, cand = ivf_flat.search(idx, qd, CAND, sp)
+            return refine.refine_host(x, q, np.asarray(cand), K)
+
+        bench(f"int8 fused p={p} + host refine", rsearch)
+
+
+if __name__ == "__main__":
+    main()

@@ -178,3 +178,28 @@ def test_hnsw_cpu_competitor():
     rec = calc_recall(i, gti, d, gtd)
     assert rec >= 0.9, rec
     assert h.build_seconds is not None
+
+
+def test_plot_pareto_and_export(tmp_path):
+    from cuvs_tpu.bench import plot
+    from cuvs_tpu.bench.runner import Row
+
+    rows = [
+        Row("ivf_flat", "ds", 1.0, {"n_probes": p}, r, q, 1000.0 / q)
+        for p, r, q in [(8, 0.8, 5000), (16, 0.9, 3000), (32, 0.95, 1500)]
+    ] + [
+        Row("hnsw_cpu", "ds", 2.0, {"ef": e}, r, q, 1000.0 / q)
+        for e, r, q in [(32, 0.85, 800), (64, 0.93, 400)]
+    ]
+    png = str(tmp_path / "pareto.png")
+    plot.plot_pareto(rows, png)
+    assert __import__("os").path.getsize(png) > 1000
+    csvp = str(tmp_path / "rows.csv")
+    plot.export_csv(rows, csvp)
+    jp = str(tmp_path / "rows.json")
+    plot.export_json(rows, jp)
+    import json as _json
+
+    data = _json.load(open(jp))
+    assert len(data["benchmarks"]) == 5
+    assert data["benchmarks"][0]["items_per_second"] == 5000
