@@ -116,6 +116,19 @@ def _norm_pad_len(n: int, window: int) -> int:
     return (n_pad_rows // 1024 + 1) * 1024 + wn
 
 
+@functools.partial(jax.jit, static_argnames=("out_dtype", "chunk"))
+def _gather_rows(ds, order, out_dtype, chunk=1 << 20):
+    """Chunked gather + dtype convert: the full-size f32 intermediate of
+    ``ds[order].astype(dtype)`` never materializes (at 10M x 96 that
+    transient is ~5 GB of lane-padded HBM and OOMs next to the source)."""
+    n = order.shape[0]
+    chunk = min(chunk, n)
+    pad = (-n) % chunk
+    op = jnp.pad(order, (0, pad))
+    out = lax.map(lambda o: ds[o].astype(out_dtype), op.reshape(-1, chunk))
+    return out.reshape(-1, ds.shape[1])[:n]
+
+
 def _pack(dataset, ids, labels, centers, metric, n_lists, adaptive,
           storage_dtype=None, q_scale=None, norms=None):
     """Assemble the index from labeled rows (shared by build/extend)."""
@@ -142,9 +155,9 @@ def _pack(dataset, ids, labels, centers, metric, n_lists, adaptive,
         ).astype(jnp.int8)
         rows = x8[order]
     elif storage_dtype is not None:
-        rows = dataset[order].astype(storage_dtype)
+        rows = _gather_rows(dataset, order, jnp.dtype(storage_dtype))
     else:
-        rows = dataset[order]
+        rows = _gather_rows(dataset, order, dataset.dtype)
     sorted_data = jnp.concatenate(
         [rows, jnp.zeros((window, rows.shape[1]), rows.dtype)], axis=0
     )

@@ -117,7 +117,10 @@ def group_pairs_tiled(probe_ids: jnp.ndarray, n_lists: int, m_tile: int,
     )
     tile_idx = tile_base[c_s] + rank // m_tile
     slot = rank % m_tile
-    keep = tile_idx < n_tiles  # static bound; only drops on pathological input
+    # the callers' default bound makes this mask provably all-True:
+    # sum_c ceil(occ_c/M) <= pairs//M + n_active + 1; a dropped pair is
+    # counted + reported below, never silent
+    keep = tile_idx < n_tiles
     row = jnp.where(keep, tile_idx, n_tiles)
     tile_cluster = jnp.full((n_tiles,), -1, jnp.int32).at[row].set(c_s, mode="drop")
     qidx = jnp.full((n_tiles, m_tile), -1, jnp.int32).at[
@@ -127,6 +130,20 @@ def group_pairs_tiled(probe_ids: jnp.ndarray, n_lists: int, m_tile: int,
         jnp.where(keep, tile_idx, n_tiles)
     )
     pair_slot = jnp.zeros((nq * p,), jnp.int32).at[order].set(slot)
+    # drop telemetry: with the callers' default bound
+    # (pairs//m_tile + n_active_clusters + 1 >= sum ceil(occ_c/m_tile))
+    # drops are provably impossible; a caller-supplied smaller n_tiles
+    # surfaces loudly instead of silently losing recall
+    dropped = jnp.sum(~keep)
+    jax.lax.cond(
+        dropped > 0,
+        lambda d: jax.debug.print(
+            "cuvs_tpu.ivf_scan: {d} (query, probe) pairs dropped — "
+            "n_tiles bound too small; recall is degraded", d=d
+        ),
+        lambda d: None,
+        dropped,
+    )
     return tile_cluster, qidx, pair_tile.reshape(nq, p), pair_slot.reshape(nq, p)
 
 

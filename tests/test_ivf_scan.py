@@ -160,3 +160,27 @@ class TestFusedScan:
         assert agree >= 0.98, agree
         np.testing.assert_allclose(np.asarray(df), np.asarray(dc),
                                    rtol=1e-3, atol=1e-2)
+
+
+def test_tile_bound_sufficient_adversarial(capfd):
+    """All queries probing ONE cluster (the adversarial distribution from
+    the r1/r2 reviews): the default bound must not drop pairs, and a
+    deliberately small bound must report loudly instead of silently."""
+    from cuvs_tpu.neighbors import ivf_scan
+    import jax.numpy as jnp
+
+    nq, p, n_lists, M = 64, 4, 16, 8
+    probe_ids = np.zeros((nq, p), np.int32)  # every pair -> cluster 0
+    n_tiles = nq * p // M + min(n_lists, nq * p) + 1
+    tc, qidx, pt, ps = ivf_scan.group_pairs_tiled(
+        jnp.asarray(probe_ids), n_lists, M, int(n_tiles))
+    assert int((np.asarray(pt) >= n_tiles).sum()) == 0
+
+    # deliberately undersized bound: pairs are dropped AND reported
+    small = 2
+    tc, qidx, pt, ps = ivf_scan.group_pairs_tiled(
+        jnp.asarray(probe_ids), n_lists, M, small)
+    np.asarray(pt)  # force execution so debug print fires
+    assert int((np.asarray(pt) >= small).sum()) > 0
+    err = capfd.readouterr()
+    assert "dropped" in (err.out + err.err)
