@@ -161,7 +161,8 @@ def _ivf_phase(results, x, q, gti, bf, metric, nq, n):
         return
     n_lists = max(256, min(4096, int((n / 1000) ** 0.5) * 64))
     t0 = time.time()
-    idx = ivf_flat.build(x, n_lists=n_lists, metric=metric, seed=0)
+    idx = ivf_flat.build(x, n_lists=n_lists, metric=metric, seed=0,
+                         storage_dtype=jnp.bfloat16)
     jax.block_until_ready(idx.sorted_data)
     print(f"# ivf_flat build ({n_lists} lists): {time.time()-t0:.1f}s",
           file=sys.stderr)

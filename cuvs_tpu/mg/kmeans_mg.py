@@ -38,7 +38,11 @@ def fit(
         from cuvs_tpu.mg.snmg import default_mesh
 
         mesh = default_mesh()
-    axis = mesh.axis_names[0]
+    # multi-slice meshes: a >1-axis mesh (e.g. ('dcn', 'ici')) shards
+    # over the FLATTENED axes — XLA routes the intra-slice legs of the
+    # merge all_gather over ICI and the cross-slice legs over DCN; lay
+    # the ICI axis innermost (kmeans_mg.cuh multi-node analog)
+    axis = mesh.axis_names[0] if len(mesh.axis_names) == 1 else tuple(mesh.axis_names)
     n_dev = mesh.devices.size
     x = jnp.asarray(x, jnp.float32)
     n, d = x.shape

@@ -112,7 +112,11 @@ def build(
     dataset = jnp.asarray(dataset)
     n = dataset.shape[0]
     n_shards = mesh.devices.size
-    axis = mesh.axis_names[0]
+    # multi-slice meshes: a >1-axis mesh (e.g. ('dcn', 'ici')) shards
+    # over the FLATTENED axes — XLA routes the intra-slice legs of the
+    # merge all_gather over ICI and the cross-slice legs over DCN; lay
+    # the ICI axis innermost (kmeans_mg.cuh multi-node analog)
+    axis = mesh.axis_names[0] if len(mesh.axis_names) == 1 else tuple(mesh.axis_names)
 
     if mode == "replicated":
         if index_params is not None:
@@ -319,7 +323,11 @@ def search(
     """
     if mesh is None:
         mesh = default_mesh()
-    axis = mesh.axis_names[0]
+    # multi-slice meshes: a >1-axis mesh (e.g. ('dcn', 'ici')) shards
+    # over the FLATTENED axes — XLA routes the intra-slice legs of the
+    # merge all_gather over ICI and the cross-slice legs over DCN; lay
+    # the ICI axis innermost (kmeans_mg.cuh multi-node analog)
+    axis = mesh.axis_names[0] if len(mesh.axis_names) == 1 else tuple(mesh.axis_names)
     module = _ALGOS[mg.algo]
     queries = jnp.asarray(queries)
     nq = queries.shape[0]

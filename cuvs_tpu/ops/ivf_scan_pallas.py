@@ -85,7 +85,10 @@ def _scan_kernel(
     M = qidx_ref.shape[2]
 
     def window_dma(slot, tile):
-        start = al_ref[tile]
+        # the wrapper 128-aligns every window start; the hint lets Mosaic
+        # prove the slice offset divides the sublane tiling (16 for
+        # packed bf16, 32 for int8) for the runtime value
+        start = pl.multiple_of(al_ref[tile], 128)
         dmas = [
             pltpu.make_async_copy(
                 data_hbm.at[pl.ds(start, W), :], data_buf.at[slot],
@@ -93,7 +96,7 @@ def _scan_kernel(
             )
         ]
         if not ip:  # IP ranking needs no norms
-            nrow = (start // 1024) * 8  # 1024-aligned start, in 128-rows
+            nrow = pl.multiple_of((start // 1024) * 8, 8)  # 1024-aligned
             dmas.append(
                 pltpu.make_async_copy(
                     norms_hbm.at[pl.ds(nrow, Wn // 128), :],

@@ -167,3 +167,22 @@ def test_sharded_recall_at_scale():
     gtd, gti = naive_knn(q, x, 10)
     rec = calc_recall(np.asarray(i_), gti, np.asarray(d_), gtd)
     assert rec >= 0.95, rec
+
+
+def test_multi_slice_mesh_sharded_search():
+    """2-D mesh ('dcn', 'ici') — the multi-slice analog: sharding over the
+    flattened axes, merge all_gather crossing both (SURVEY §2.4 multi-node
+    row; kmeans_mg.cuh multi-node analog)."""
+    from jax.sharding import Mesh
+
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("dcn", "ici"))
+    x = make_blobs(RNG, 4000, 16)
+    q = make_blobs(RNG, 32, 16)
+    idx = mg.build(x, algo="brute_force", mode="sharded", mesh=mesh)
+    d, i = mg.search(idx, q, 10, mesh=mesh)
+    gtd, gti = naive_knn(q, x, 10)
+    assert calc_recall(np.asarray(i), gti, np.asarray(d), gtd) >= 0.999
+
+    centers, inertia = mg.kmeans_fit(x, 8, mesh=mesh, max_iter=5, seed=0)
+    assert centers.shape == (8, 16)
