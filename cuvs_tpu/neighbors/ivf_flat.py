@@ -158,6 +158,12 @@ def _pack(dataset, ids, labels, centers, metric, n_lists, adaptive,
         rows = _gather_rows(dataset, order, jnp.dtype(storage_dtype))
     else:
         rows = _gather_rows(dataset, order, dataset.dtype)
+    # lane-align the stored width: TPU HBM tiles pad the minor dim to 128
+    # physically anyway, and the fused scan's window DMA requires it —
+    # explicit zero columns cost nothing and keep every path aligned
+    dp = -(-rows.shape[1] // 128) * 128
+    if dp != rows.shape[1]:
+        rows = jnp.pad(rows, ((0, 0), (0, dp - rows.shape[1])))
     sorted_data = jnp.concatenate(
         [rows, jnp.zeros((window, rows.shape[1]), rows.dtype)], axis=0
     )
@@ -417,7 +423,7 @@ def extend(index: Index, new_vectors, new_ids=None) -> Index:
     n_new = new_vectors.shape[0]
     if new_ids is None:
         new_ids = jnp.arange(n_old, n_old + n_new, dtype=jnp.int32)
-    old_data = index.sorted_data[:n_old]
+    old_data = index.sorted_data[:n_old, : index.dim]  # drop lane padding
     old_ids = index.lists.ids[:n_old]
     old_labels = index.lists.labels[:n_old]
     new_labels = kmeans_balanced.predict(jnp.asarray(new_vectors, jnp.float32), index.centers)

@@ -182,16 +182,18 @@ def cluster_major_scan(
     M = max_per_cluster
     ip = metric == DistanceType.InnerProduct
     cosine = metric == DistanceType.CosineExpanded
+    dp = sorted_data.shape[1]
+    qpad = jnp.pad(queries_f32, ((0, 0), (0, dp - d))) if dp != d else queries_f32
 
     qidx, pair_slot = group_pairs(probe_ids, n_lists, M)
     qn = jnp.sum(queries_f32 * queries_f32, axis=1)
     if cosine:
         qn = jnp.sqrt(qn)
     if q_scale is not None:
-        qc_all = jnp.clip(jnp.round(queries_f32 / q_scale), -127, 127).astype(jnp.int8)
+        qc_all = jnp.clip(jnp.round(qpad / q_scale), -127, 127).astype(jnp.int8)
         scale2 = q_scale * q_scale
     else:
-        qc_all = queries_f32.astype(compute_dtype)
+        qc_all = qpad.astype(compute_dtype)
         scale2 = None
 
     pad_l = (-n_lists) % cluster_chunk
