@@ -104,7 +104,9 @@ def knn_query(index: Index, queries, k: int, two_pass: bool = True
 
 def all_knn_query(index: Index, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """k-NN of every indexed point (ball_cover.hpp:173)."""
-    return knn_query(index, index.inner.sorted_data[: index.size], k)
+    return knn_query(
+        index, index.inner.sorted_data[: index.size, : index.inner.dim], k
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -114,6 +116,11 @@ def _masked_full_scan(inner, queries, k, needed):
     nq = qf.shape[0]
     qnorm = jnp.sum(qf * qf, axis=1)
     W = inner.window
+    # stored rows are lane-aligned (zero-padded to a 128-multiple width);
+    # matching zero columns on the queries leave the dots unchanged
+    dp = inner.sorted_data.shape[1]
+    if dp != qf.shape[1]:
+        qf = jnp.pad(qf, ((0, 0), (0, dp - qf.shape[1])))
 
     def cell_step(carry, c):
         best_v, best_i = carry
@@ -152,6 +159,9 @@ def eps_nn(index: Index, queries, eps: float) -> Tuple[jnp.ndarray, jnp.ndarray]
     adj = jnp.zeros((qf.shape[0], n), bool)
     qnorm = jnp.sum(qf * qf, axis=1)
     W = inner.window
+    dp = inner.sorted_data.shape[1]
+    if dp != qf.shape[1]:  # lane-aligned storage: zero-pad query columns
+        qf = jnp.pad(qf, ((0, 0), (0, dp - qf.shape[1])))
     for c in range(inner.n_lists):  # host loop: cells are few (~sqrt n)
         start = int(inner.lists.offsets[c])
         data_w = inner.sorted_data[start : start + W]

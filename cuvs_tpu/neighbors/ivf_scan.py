@@ -135,15 +135,20 @@ def group_pairs_tiled(probe_ids: jnp.ndarray, n_lists: int, m_tile: int,
     # drops are provably impossible; a caller-supplied smaller n_tiles
     # surfaces loudly instead of silently losing recall
     dropped = jnp.sum(~keep)
-    jax.lax.cond(
-        dropped > 0,
-        lambda d: jax.debug.print(
-            "cuvs_tpu.ivf_scan: {d} (query, probe) pairs dropped — "
-            "n_tiles bound too small; recall is degraded", d=d
-        ),
-        lambda d: None,
-        dropped,
-    )
+    # jax.debug.print stages a host callback, which the axon TPU plugin
+    # cannot execute (io_callback UNIMPLEMENTED); stage it only where
+    # callbacks work (CPU — i.e. the test suite). On TPU the callers'
+    # default bound makes drops provably impossible.
+    if jax.default_backend() == "cpu":
+        jax.lax.cond(
+            dropped > 0,
+            lambda d: jax.debug.print(
+                "cuvs_tpu.ivf_scan: {d} (query, probe) pairs dropped — "
+                "n_tiles bound too small; recall is degraded", d=d
+            ),
+            lambda d: None,
+            dropped,
+        )
     return tile_cluster, qidx, pair_tile.reshape(nq, p), pair_slot.reshape(nq, p)
 
 
