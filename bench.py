@@ -167,21 +167,21 @@ def _ivf_phase(results, x, q, gti, bf, metric, nq, n):
     print(f"# ivf_flat build ({n_lists} lists): {time.time()-t0:.1f}s",
           file=sys.stderr)
 
-    best_rec = 0.0
-    for p in (16, 32, 64):
+    best_rec, last_p = 0.0, 64
+    for p in (32, 64, 128, 256):
         sp = ivf_flat.SearchParams(n_probes=p, scan_algo="fused",
                                    compute_dtype=jnp.bfloat16,
                                    recall_target=0.97)
         rec, qps = _measure(
             results, f"ivf_fused_p{p}",
             lambda: ivf_flat.search(idx, q, K, sp), nq, gti)
-        best_rec = max(best_rec, rec)
-        if rec >= 0.97:
+        best_rec, last_p = max(best_rec, rec), p
+        if rec >= 0.96:
             break
-    if best_rec < 0.97:
+    if best_rec < 0.96:
         # refine pass: candidates from the fused scan, exact re-rank
         CAND = 40
-        sp = ivf_flat.SearchParams(n_probes=64, scan_algo="fused",
+        sp = ivf_flat.SearchParams(n_probes=last_p, scan_algo="fused",
                                    compute_dtype=jnp.bfloat16,
                                    recall_target=0.97)
 
@@ -189,7 +189,7 @@ def _ivf_phase(results, x, q, gti, bf, metric, nq, n):
             _, cand = ivf_flat.search(idx, q, CAND, sp)
             return _refine.refine(bf.dataset, q, cand, K, metric=metric)
 
-        _measure(results, "ivf_fused_p64_refine", ivf_refined, nq, gti)
+        _measure(results, f"ivf_fused_p{last_p}_refine", ivf_refined, nq, gti)
 
 
 def _cagra_phase(results, x, q, gti, t_start, metric, nq, bf):

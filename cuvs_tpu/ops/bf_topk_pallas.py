@@ -11,11 +11,11 @@ path runs the matmul on the MXU's 2x-rate int8 pipeline.
 Reduction modes:
   * exact=True — k rounds of masked max per tile: the union of per-tile
     top-k provably contains the global top-k (exact small-batch path).
-  * exact=False — per-128-lane-bin maxima (one VPU pass, the
-    approx_max_k bin semantics): F = tile_n/128 candidates per tile; the
-    only recall loss is two global top-k rows sharing one 128-bin
-    (~k^2/2 / (N/128) of queries lose one neighbor — 0.6% at k=10,
-    N=10M). Pair with refine() for the last digit of recall.
+  * exact=False — strided per-lane-bin minima (the approx_max_k bin
+    semantics): each tile keeps 128 bins of depth tile_n/128; the only
+    recall loss is two global top-k rows sharing one bin (~k^2/2 /
+    (N/128) of queries lose one neighbor). Pair with refine() for the
+    last digit of recall.
 
 int8 mode: queries and dataset rows are globally-scaled int8; the dot
 runs int8 x int8 -> int32 and ALL distances stay in quantized units
@@ -81,45 +81,53 @@ def _fused_kernel(q_ref, data_ref, out_v_ref, out_i_ref, *, k, n, tile_n, ip, ex
         raise AssertionError("approx mode uses _approx_kernel")
 
 
-def _approx_kernel(q_ref, data_ref, out_v_ref, out_i_ref, *, n, tile_n,
-                   inner, ip):
-    """Per-128-lane-bin minima, dataset-stationary.
+def _approx_kernel(q_ref, pen_ref, data_ref, out_v_ref, out_i_ref):
+    """Per-128-lane-bin minima, dataset-stationary — VPU-lean epilogue.
 
-    Grid is (n_tiles, n_qb): the 3 MB data tile is fetched ONCE per tile
-    and reused across all query blocks (the query block is the tiny
-    operand), so the dataset streams exactly once per batch. Columns are
-    processed in ``inner``-wide chunks so the f32 distance block stays
-    ~4 MB regardless of tile width. Pool entries are bf16 value + uint8
-    in-bin offset (3 bytes/bin vs 8): the global bin id is implicit in
-    the pool column, so no absolute index is stored.
+    Grid is (n_tiles, n_qb): the data tile is fetched ONCE per tile and
+    reused across all query blocks (the query block is the tiny
+    operand), so the dataset streams exactly once per batch.
+
+    Three VPU-economy moves (measured: the v1 epilogue made the fused
+    kernel SLOWER than the unfused XLA path at 1M — 107k vs 205k QPS):
+      1. norms arrive precomputed as ``pen`` = 0.5*||row||^2 (0 for IP),
+         with +inf on padded rows — no in-kernel norm recompute per
+         query block and no iota/where validity mask;
+      2. the ranking score is one subtract: neg = dots - pen (the
+         per-query norm is constant per row and omitted — callers
+         rebuild exact L2 as qn + 2*value);
+      3. bins are STRIDED: lane l of tile t collects columns
+         {l, l+128, ...}; the reduction is a hand-rolled running
+         (best, best-slice) loop over vreg-aligned [B, 128] slices —
+         pure elementwise vreg ops, no cross-lane shuffles (the v1
+         axis-2 argmax) and no [B, C, 128] reshape relayout (the v2
+         middle-axis argmax: 186k QPS; this loop: 330-359k).
+    Pool: per tile, 128 bins of depth C = tile_n/128; value = min
+    ranking score (f32), uint8 in-bin slice c; global row id =
+    t*tile_n + c*128 + l.
     """
-    t = pl.program_id(0)
     q = q_ref[:]
     int8_mode = data_ref.dtype == jnp.int8
-    qf = q.astype(jnp.float32)
-    qn = jnp.sum(qf * qf, axis=1, keepdims=True)  # [B, 1]
-    base = t * tile_n
-    for j in range(tile_n // inner):
-        data = data_ref[j * inner : (j + 1) * inner, :]
-        if int8_mode:
-            dots = jnp.dot(q, data.T, preferred_element_type=jnp.int32).astype(jnp.float32)
-        else:
-            dots = jnp.dot(q, data.T, preferred_element_type=jnp.float32)
-        if ip:
-            dist = -dots
-        else:
-            df = data.astype(jnp.float32)
-            dn = jnp.sum(df * df, axis=1, keepdims=True)
-            dist = jnp.maximum(qn + dn.T - 2.0 * dots, 0.0)
-        col = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
-        dist = jnp.where(col + (base + j * inner) < n, dist, jnp.inf)
-        B = dist.shape[0]
-        F = inner // 128
-        blocks = (-dist).reshape(B, F, 128)
-        m = jnp.max(blocks, axis=2)
-        am = jnp.argmax(blocks, axis=2)
-        out_v_ref[:, j * F : (j + 1) * F] = (-m).astype(out_v_ref.dtype)
-        out_i_ref[:, j * F : (j + 1) * F] = am.astype(jnp.uint8)
+    data = data_ref[:]
+    if int8_mode:
+        dots = jnp.dot(q, data.T, preferred_element_type=jnp.int32).astype(jnp.float32)
+    else:
+        dots = jnp.dot(q, data.T, preferred_element_type=jnp.float32)
+    B = dots.shape[0]
+    tile_n = data.shape[0]
+    C = tile_n // 128
+    # running (best, best-slice) over vreg-aligned 128-lane slices: pure
+    # elementwise ops on [B, 128] operands — no [B, C, 128] reshape (a
+    # cross-lane relayout) and no argmax iota materialization
+    best = dots[:, 0:128] - pen_ref[0, 0:1, :]
+    besti = jnp.zeros_like(best, dtype=jnp.int32)
+    for c in range(1, C):
+        sl = dots[:, c * 128 : (c + 1) * 128] - pen_ref[0, c : c + 1, :]
+        take = sl > best
+        best = jnp.where(take, sl, best)
+        besti = jnp.where(take, c, besti)
+    out_v_ref[0, :, :] = -best  # min-space ranking score
+    out_i_ref[0, :, :] = besti.astype(jnp.uint8)
 
 
 @functools.partial(
@@ -134,6 +142,7 @@ def fused_bf_topk(
     ip: bool = False,
     exact: bool = True,
     interpret: bool = False,
+    dnorms=None,  # [N] f32 squared row norms (L2 approx path; else None)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k nearest rows. Returns (dists [B,k] min-space, ids [B,k]).
 
@@ -143,16 +152,14 @@ def fused_bf_topk(
     B, d = queries.shape
     N = dataset.shape[0]
     if not exact:
-        # dataset-stationary approx path: wide tiles (the data block is
-        # fetched once per tile and reused across query blocks), 4k-column
-        # inner chunks to bound the f32 distance block, 256-row query
-        # blocks. tile_n multiple of `inner`; F multiple of 128 for the
-        # uint8/bf16 pool block layout.
-        inner = 4096
-        block_q = min(block_q, 256)
-        tile_n = 32768 if jnp.dtype(dataset.dtype) == jnp.int8 else 16384
+        # dataset-stationary approx path: the data tile is fetched once
+        # per tile and reused across all query blocks; bins are strided
+        # so C = tile_n/128 <= 256 fits the uint8 in-bin slice id.
+        block_q = min(block_q, 512)
+        if tile_n < 4096 or tile_n % 128 or tile_n > 32768:
+            tile_n = 16384
         if N <= tile_n:
-            tile_n = max(inner, -(-N // inner) * inner)
+            tile_n = -(-N // 128) * 128
     pad_b = (-B) % block_q
     pad_n = (-N) % tile_n
     q = jnp.pad(queries, ((0, pad_b), (0, 0)))
@@ -190,37 +197,64 @@ def fused_bf_topk(
         ti = jnp.take_along_axis(pool_i, tl, axis=1)
         return -tv, ti
 
-    akernel = functools.partial(
-        _approx_kernel, n=N, tile_n=tile_n, inner=inner, ip=ip
-    )
+    # ranking penalty per row: 0.5*||row||^2 for L2 (in the data dtype's
+    # own units — quantized for int8), 0 for IP; +inf on padded rows so
+    # no in-kernel validity mask is needed
+    C = tile_n // 128
+    if ip:
+        pen_flat = jnp.zeros((N,), jnp.float32)
+    elif data.dtype == jnp.int8:
+        df = dataset.astype(jnp.float32)
+        pen_flat = 0.5 * jnp.sum(df * df, axis=1)
+    elif dnorms is not None:
+        pen_flat = 0.5 * jnp.asarray(dnorms, jnp.float32)
+    else:
+        df = dataset.astype(jnp.float32)
+        pen_flat = 0.5 * jnp.sum(df * df, axis=1)
+    pen = jnp.pad(pen_flat, (0, pad_n), constant_values=jnp.inf)
+    pen = pen.reshape(n_tiles, C, 128)
+
     out_v, out_i = pl.pallas_call(
-        akernel,
+        _approx_kernel,
         grid=(n_tiles, n_qb),  # query block innermost: data tile reused
         in_specs=[
             pl.BlockSpec((block_q, d), lambda t, i: (i, 0)),
+            pl.BlockSpec((1, C, 128), lambda t, i: (t, 0, 0)),
             pl.BlockSpec((tile_n, d), lambda t, i: (t, 0)),
         ],
-        # pool laid out [B, n_tiles*F] directly — no post-hoc transpose of
-        # a GB-scale candidate pool
+        # pool laid out [n_tiles, B, 128] (Pallas wants the last two block
+        # dims (8,128)-aligned or full); moveaxis below is one cheap
+        # transpose of the already-reduced pool
         out_specs=[
-            pl.BlockSpec((block_q, F), lambda t, i: (i, t)),
-            pl.BlockSpec((block_q, F), lambda t, i: (i, t)),
+            pl.BlockSpec((1, block_q, 128), lambda t, i: (t, i, 0)),
+            pl.BlockSpec((1, block_q, 128), lambda t, i: (t, i, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B + pad_b, n_tiles * F), jnp.float32),
-            jax.ShapeDtypeStruct((B + pad_b, n_tiles * F), jnp.uint8),
+            jax.ShapeDtypeStruct((n_tiles, B + pad_b, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, B + pad_b, 128), jnp.uint8),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
-    )(q, data)
+    )(q, pen, data)
 
     # global merge over the candidate pool (approx select: the pool is
-    # already a per-bin reduction, a second bin pass is ~lossless). The
-    # global id of pool column c is c*128 + in-bin offset.
-    pool_v = out_v[:B]
+    # already a per-bin reduction, a second bin pass is ~lossless).
+    # Pool column p = t*128 + lane; stored uint8 = strided slice c;
+    # global row id = t*tile_n + c*128 + lane.
+    pool_v = jnp.moveaxis(out_v, 0, 1).reshape(B + pad_b, n_tiles * 128)[:B]
+    pool_i = jnp.moveaxis(out_i, 0, 1).reshape(B + pad_b, n_tiles * 128)[:B]
     rt = None if pool_v.shape[1] <= 4 * k else 0.95
     tv, tl = _select_topk(pool_v, k, True, rt)
-    local = jnp.take_along_axis(out_i[:B], tl, axis=1).astype(jnp.int32)
-    ti = tl * 128 + local
+    local = jnp.take_along_axis(pool_i, tl, axis=1).astype(jnp.int32)
+    ti = (tl // 128) * tile_n + local * 128 + (tl % 128)
+    # tv is the ranking score (dots - pen, min-space). Rebuild the true
+    # distance: L2 = ||q||^2 + 2*score; IP = score (= -dots) directly.
+    if not ip:
+        qf32 = q[:B].astype(jnp.float32)
+        qn = jnp.sum(qf32 * qf32, axis=1, keepdims=True)
+        tv = jnp.maximum(qn + 2.0 * tv, 0.0)
     return tv, ti
 
 
@@ -251,6 +285,14 @@ def search(
         raise ValueError(f"fused kernel supports L2/IP, got {metric}")
     ip = metric == DistanceType.InnerProduct
     qf = jnp.asarray(queries, jnp.float32)
+    if not exact:
+        # approx-path tile geometry (env knobs for tuning sweeps)
+        import os as _os
+
+        # measured best at 1M x 128 bf16 (v5e): 512/32768 = 359k QPS vs
+        # 324-348k for smaller blocks and 233k for the unfused XLA path
+        tile_n = int(_os.environ.get("CUVS_TPU_BF_TILE", 32768))
+        block_q = int(_os.environ.get("CUVS_TPU_BF_BLOCKQ", 512))
     block_q = int(min(block_q, max(8, qf.shape[0])))
     tile_n = int(min(tile_n, max(128, dataset.shape[0])))
     if q_scale is not None:
@@ -261,7 +303,7 @@ def search(
         dd = jnp.asarray(dataset, compute_dtype)
     v, i = fused_bf_topk(
         qq, dd, int(k), tile_n=tile_n, block_q=block_q, ip=ip, exact=exact,
-        interpret=interpret,
+        interpret=interpret, dnorms=dnorms,
     )
     if q_scale is not None:
         v = v * (q_scale * q_scale)
