@@ -612,10 +612,9 @@ def search(
         )
         M = int(min(128, max(8, nq)))
         n_tiles = nq * n_probes // M + min(index.n_lists, nq * n_probes) + 1
-        # effective bins per cluster = avg list size / 128 (not window/128):
-        # size cap so per-cluster capacity clears ~2k, exact when lists tiny
-        eff = max(1, index.n_rows // index.n_lists // 128)
-        cap = int(min(k, 32, max(2, -(-2 * k) // eff)))
+        # strided lane bins: every window exposes 128 bins, so cap=2
+        # covers k <= ~32 with negligible collision loss
+        cap = int(min(32, max(2, -(-k // 32))))
         return ivf_scan.cluster_major_scan_fused(
             index.sorted_data,
             index.sorted_norms,

@@ -481,18 +481,16 @@ def cluster_major_scan_fused(
     # inner chunk: largest divisor of W_k at most 32 blocks (4 MB f32 dots)
     blocks = W_k // 128
     ib = max((b for b in range(1, min(blocks, 32) + 1) if blocks % b == 0))
-    # per-bin depth: a cluster's EFFECTIVE bin count is list_size/128, so
-    # capacity (cap * eff_bins) must clear ~2k or a concentrated top-k
-    # overflows its nearest cluster's bins; cap >= k makes the per-window
-    # selection exact (callers with avg-list-size knowledge pass bin_cap)
-    cap = int(bin_cap) if bin_cap else int(min(k, 32, max(2, -(-2 * k // blocks))))
+    # bins are strided per lane: every window has 128 bins of depth
+    # W/128, so a cluster's top-k spreads over 128 bins regardless of
+    # list size; cap 2 covers k <= ~32 with negligible collision loss
+    cap = int(bin_cap) if bin_cap else int(min(32, max(2, -(-k // 32))))
     out_v, out_i = ivf_scan_pallas.fused_ivf_scan(
         sorted_data, sorted_norms, qc, qidx, al, lo, sizes, scale2,
         W=W_k, m_tile=M, inner=ib * 128, ip=ip, int8_mode=int8_mode,
         cap=cap, interpret=interpret,
     )
-    F = W_k // 128
-    Fc = cap * F
+    Fc = cap * 128
 
     # sentinel tile row for dropped pairs (cannot occur at the default
     # n_tiles bound — see group_pairs_tiled)
@@ -504,12 +502,13 @@ def cluster_major_scan_fused(
     kk = min(k, p * Fc)
     tv, tl = topk(pv, kk, True, recall_target)
     ok = jnp.isfinite(tv)
-    # recover global positions: pool col = probe j * Fc + rank r * F + bin
+    # recover global positions: pool col = probe j * Fc + rank r * 128 +
+    # lane bin; stored uint8 = 128-slice id within the window
     al_pad = jnp.append(al, 0)
     probe_j = tl // Fc
     tile_sel = jnp.take_along_axis(pair_tile, probe_j, axis=1)
     off = jnp.take_along_axis(po, tl, axis=1).astype(jnp.int32)
-    pos = al_pad[tile_sel] + ((tl % Fc) % F) * 128 + off
+    pos = al_pad[tile_sel] + off * 128 + ((tl % Fc) % 128)
     fi = jnp.where(ok, lists.ids[jnp.where(ok, pos, 0)], 0)
 
     if ip:
