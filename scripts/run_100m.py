@@ -1,9 +1,10 @@
 """DEEP-100M-shape single-chip benchmark (BASELINE config 5, one v5e).
 
 Flow (docs/scale.md):
-  1. generate 100M x 96 synthetic host-side (SFC64 — the only host RNG
-     fast enough on this box; the SAME array later serves as the exact
-     f32 refine source, which is why generation cannot happen on-device);
+  1. generate 100M x 96 synthetic host-side (torch RNG + matmul — the
+     only host path fast enough on this box; the SAME array later serves
+     as the exact f32 refine source, which is why generation cannot
+     happen on-device);
   2. `ivf_flat.build_streaming` (host mode): slices upload for labeling,
      int8 rows land in their final grouped positions — the 38 GB f32
      dataset never exists on the device;
@@ -47,15 +48,22 @@ def main():
     r = D // 4
     proj = (rng.standard_normal((r, D)).astype(np.float32) / np.sqrt(r))
 
+    # host datagen rides torch: numpy's SFC64 gaussians run ~2M/s and its
+    # reference-BLAS sgemm ~115 MFLOP/s on this single weak core (2+
+    # hours for 100M x 96), while torch generates 157M gaussians/s and
+    # matmuls at ~6 GFLOP/s — the whole 38 GB in ~3 minutes
+    import torch
+
+    torch.manual_seed(0)
+    proj_t = torch.from_numpy(np.ascontiguousarray(proj, np.float32))
     t0 = time.time()
     x = np.empty((N, D), np.float32)
     for s in range(0, N, SLICE):
         e = min(s + SLICE, N)
-        g = rng.standard_normal((e - s, r), dtype=np.float32)
-        x[s:e] = g @ proj
-        x[s:e] += 0.05 * rng.standard_normal((e - s, D), dtype=np.float32)
-    q = rng.standard_normal((NQ, r), dtype=np.float32) @ proj
-    q += 0.05 * rng.standard_normal((NQ, D), dtype=np.float32)
+        xt = torch.from_numpy(x[s:e])
+        torch.matmul(torch.randn(e - s, r), proj_t, out=xt)
+        xt += 0.05 * torch.randn(e - s, D)
+    q = (torch.randn(NQ, r) @ proj_t + 0.05 * torch.randn(NQ, D)).numpy()
     print(f"# host data gen: {time.time()-t0:.0f}s "
           f"({x.nbytes/2**30:.1f} GB)", file=sys.stderr, flush=True)
 
