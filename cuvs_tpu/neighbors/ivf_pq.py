@@ -110,6 +110,12 @@ class Index:
     pq_bits: int = flax.struct.field(pytree_node=False, default=8)
     codebook_gen: str = flax.struct.field(pytree_node=False, default="per_subspace")
     pq_dim_static: int = flax.struct.field(pytree_node=False, default=0)
+    # fused-scan serving layout (PER_SUBSPACE only): transposed packed
+    # code words [ceil(pq_dim/4), n + window] u32 + decoded-residual
+    # norms — exactly the raw code bytes, laid out for contiguous
+    # per-word-row window DMA (ops/ivf_scan_pallas.py::fused_pq_scan)
+    sorted_codes_t: Optional[jnp.ndarray] = None
+    sorted_code_norms: Optional[jnp.ndarray] = None
 
     @property
     def n_lists(self) -> int:
@@ -353,6 +359,14 @@ def build(dataset, params: Optional[IndexParams] = None, **kw) -> Index:
     sorted_codes = jnp.concatenate(
         [packed, jnp.zeros((window, packed.shape[1]), jnp.uint32)], axis=0
     )
+    serving_codes = serving_norms = None
+    if params.codebook_gen == "per_subspace":
+        from cuvs_tpu.neighbors import ivf_scan
+
+        cs = codes[order]
+        serving_codes = ivf_scan.pack_codes_transposed(cs, window)
+        serving_norms = ivf_scan.decoded_norms(cs, pq_centers, window,
+                                               window + 128)
     return Index(
         centers=centers,
         center_norms=pairwise.row_norms(centers),
@@ -367,6 +381,8 @@ def build(dataset, params: Optional[IndexParams] = None, **kw) -> Index:
         pq_bits=params.pq_bits,
         codebook_gen=params.codebook_gen,
         pq_dim_static=int(pq_dim),
+        sorted_codes_t=serving_codes,
+        sorted_code_norms=serving_norms,
     )
 
 
@@ -404,6 +420,14 @@ def extend(index: Index, new_vectors, new_ids=None) -> Index:
     sorted_codes = jnp.concatenate(
         [packed, jnp.zeros((window, packed.shape[1]), jnp.uint32)], axis=0
     )
+    serving_codes = serving_norms = None
+    if index.codebook_gen == "per_subspace":
+        from cuvs_tpu.neighbors import ivf_scan
+
+        cs = all_codes[order]
+        serving_codes = ivf_scan.pack_codes_transposed(cs, window)
+        serving_norms = ivf_scan.decoded_norms(cs, index.pq_centers, window,
+                                               window + 128)
     return Index(
         centers=index.centers,
         center_norms=index.center_norms,
@@ -418,6 +442,8 @@ def extend(index: Index, new_vectors, new_ids=None) -> Index:
         pq_bits=index.pq_bits,
         codebook_gen=index.codebook_gen,
         pq_dim_static=index.pq_dim_static,
+        sorted_codes_t=serving_codes,
+        sorted_code_norms=serving_norms,
     )
 
 
@@ -577,13 +603,59 @@ def search(
 
     algo = params.scan_algo
     traced_ctx = isinstance(queries, jax.core.Tracer)
+    fused_ok = (
+        index.sorted_codes_t is not None
+        and index.codebook_gen == "per_subspace"
+        and (prefilter is None or prefilter.is_none)
+        and index.metric in (
+            DistanceType.L2Expanded,
+            DistanceType.L2SqrtExpanded,
+            DistanceType.InnerProduct,
+        )
+        and not traced_ctx
+    )
     if algo == "auto":
         # cluster-major sizes its slot axis with a host-side sync, so it is
         # unavailable under an outer trace (e.g. mg shard_map)
-        algo = (
-            "cluster_major"
-            if nq * n_probes >= 4 * index.n_lists and not traced_ctx
-            else "query_major"
+        if nq * n_probes >= 4 * index.n_lists and not traced_ctx:
+            algo = (
+                "fused"
+                if fused_ok and jax.default_backend() == "tpu"
+                else "cluster_major"
+            )
+        else:
+            algo = "query_major"
+    if algo == "fused" and not fused_ok:
+        algo = "cluster_major"
+    if algo == "fused":
+        from cuvs_tpu.neighbors import ivf_scan
+
+        qf = jnp.asarray(queries, jnp.float32)
+        probe_ids = ivf.coarse_search(
+            qf, index.centers, index.center_norms, n_probes, index.metric,
+            params.compute_dtype,
+        )
+        M = int(min(128, max(8, nq)))
+        n_tiles = nq * n_probes // M + min(index.n_lists, nq * n_probes) + 1
+        cap = int(min(32, max(2, -(-k // 32))))
+        return ivf_scan.cluster_major_scan_pq_fused(
+            index.sorted_codes_t,
+            index.sorted_code_norms,
+            index.centers_rot,
+            index.pq_centers,
+            index.rotation,
+            index.lists,
+            qf,
+            probe_ids,
+            int(k),
+            index.metric,
+            index.window,
+            M,
+            int(n_tiles),
+            None if params.recall_target is None else float(params.recall_target),
+            bin_cap=cap,
+            book=int(index.pq_book_size),
+            interpret=jax.default_backend() != "tpu",
         )
     if algo == "cluster_major":
         from cuvs_tpu.neighbors import ivf_scan

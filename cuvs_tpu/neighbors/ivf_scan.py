@@ -524,6 +524,157 @@ def cluster_major_scan_fused(
     return fv, fi
 
 
+def block_diag_codebook(pq_centers, dp: int, dtype=jnp.bfloat16):
+    """[S, book, pq_len] per-subspace codebook -> transposed
+    block-diagonal [dp, S*book] (dp = rot_dim padded to a lane multiple):
+    column s*book + c holds codebook row (s, c) placed at dims
+    [s*pq_len, (s+1)*pq_len). One MXU matmul with a [S*book, W] one-hot
+    then decodes a whole code block."""
+    S, book, pq_len = pq_centers.shape
+    cb = jnp.zeros((S * book, dp), jnp.float32)
+    for s in range(S):
+        cb = cb.at[s * book : (s + 1) * book,
+                   s * pq_len : (s + 1) * pq_len].set(pq_centers[s])
+    return cb.T.astype(dtype)
+
+
+def pack_codes_transposed(codes_sorted, window: int):
+    """[n, S] uint8 list-sorted codes -> ([Sw, n + window] uint32 packed
+    words, exactly the raw code bytes) for the fused PQ kernel's
+    contiguous per-word-row window DMA."""
+    n, S = codes_sorted.shape
+    Sw = -(-S // 4)
+    c = jnp.pad(codes_sorted.astype(jnp.uint32),
+                ((0, window), (0, Sw * 4 - S)))
+    w = c.reshape(-1, Sw, 4)
+    words = (w[:, :, 0] | (w[:, :, 1] << 8) | (w[:, :, 2] << 16)
+             | (w[:, :, 3] << 24))
+    return words.T
+
+
+def decoded_norms(codes_sorted, pq_centers, window: int, W_k: int):
+    """Squared norms of the decoded residuals, padded for the fused
+    kernel's 1024-aligned norm DMA (subspace dims are disjoint, so
+    ||y||^2 = sum_s ||codebook[s, code_s]||^2 — a small-table gather)."""
+    norm_tab = jnp.sum(pq_centers * pq_centers, axis=2)  # [S, book]
+    S = codes_sorted.shape[1]
+    nrm = jnp.zeros((codes_sorted.shape[0],), jnp.float32)
+    for s in range(S):
+        nrm = nrm + norm_tab[s, codes_sorted[:, s].astype(jnp.int32)]
+    n_pad = codes_sorted.shape[0] + window
+    Wn = -(-(W_k + 896) // 1024) * 1024
+    need = (n_pad // 1024 + 1) * 1024 + Wn
+    return jnp.pad(nrm, (0, need - nrm.shape[0]))
+
+
+def cluster_major_scan_pq_fused(
+    codes_t,
+    sorted_norms,
+    centers_rot,
+    pq_centers,
+    rotation,
+    lists,
+    queries_f32,
+    probe_ids,
+    k,
+    metric,
+    window,
+    m_tile,
+    n_tiles,
+    recall_target=None,
+    bin_cap=None,
+    book=256,
+    interpret=False,
+):
+    """IVF-PQ cluster-major search through the fused Pallas PQ kernel
+    (ops/ivf_scan_pallas.py::fused_pq_scan): codes are decoded in VMEM
+    with one-hot MXU matmuls and scored/bin-reduced on-chip — no HBM
+    reconstruction tensor, no order tensor (the reference analog:
+    ivf_pq_compute_similarity_impl.cuh:35-78). PER_SUBSPACE codebooks,
+    L2 family + InnerProduct, unfiltered; callers fall back to the
+    unfused scan otherwise. Rankings are ADC-approximate — pair with
+    refine() for the last recall digits."""
+    from cuvs_tpu.ops import ivf_scan_pallas
+
+    nq, d = queries_f32.shape
+    p = probe_ids.shape[1]
+    n_lists = lists.offsets.shape[0]
+    M = m_tile
+    ip = metric == DistanceType.InnerProduct
+    rot_dim = rotation.shape[0]
+    dp = -(-rot_dim // 128) * 128
+    n_pad = codes_t.shape[1]
+    W_k = window + 128
+
+    tile_cluster, qidx, pair_tile, pair_slot = group_pairs_tiled(
+        probe_ids, n_lists, M, n_tiles
+    )
+    safe_c = jnp.clip(tile_cluster, 0, n_lists - 1)
+    start = lists.offsets[safe_c]
+    al = (start // 128) * 128
+    al = jnp.minimum(al, ((n_pad - W_k) // 128) * 128)
+    lo = start - al
+    sizes = jnp.where(tile_cluster >= 0, lists.sizes[safe_c], 0)
+
+    # rotated-frame operands (PQ error >> bf16 rounding; refine recovers)
+    cdt = jnp.bfloat16
+    qrot = queries_f32 @ rotation.T  # [nq, rot_dim] f32
+    qrot_p = jnp.pad(qrot, ((0, 0), (0, dp - rot_dim))).astype(cdt)
+    crot_p = jnp.pad(centers_rot, ((0, 0), (0, dp - rot_dim))).astype(cdt)
+    centers_tile = crot_p[safe_c]  # [n_tiles, dp]
+    cb_t = block_diag_codebook(pq_centers, dp, cdt)
+
+    blocks = W_k // 128
+    ib = max(b for b in range(1, min(blocks, 4) + 1) if blocks % b == 0)
+    cap = int(bin_cap) if bin_cap else int(min(32, max(2, -(-k // 32))))
+    out_v, out_i = ivf_scan_pallas.fused_pq_scan(
+        codes_t, sorted_norms, qrot_p, cb_t, centers_tile,
+        qidx, al, lo, sizes,
+        W=W_k, m_tile=M, inner=ib * 128, ip=ip, cap=cap, book=book,
+        interpret=interpret,
+    )
+    Fc = cap * 128
+
+    out_v = jnp.pad(out_v, ((0, 1), (0, 0), (0, 0)), constant_values=jnp.inf)
+    out_i = jnp.pad(out_i, ((0, 1), (0, 0), (0, 0)))
+    pv = out_v[pair_tile, pair_slot]  # [nq, p, Fc]
+    po = out_i[pair_tile, pair_slot].reshape(nq, p * Fc)
+
+    # per-(query, probe) cluster term: L2 adds ||q' - c_rot||^2's query
+    # part ||Rq - c_rot||^2; IP adds -q.center (q.x = q.c + q_rot.y)
+    qcd = jnp.einsum("nd,cd->nc", qrot, centers_rot,
+                     preferred_element_type=jnp.float32)
+    sel = jnp.take_along_axis(qcd, probe_ids, axis=1)  # [nq, p]
+    if ip:
+        offs = -sel
+    else:
+        qn = jnp.sum(qrot * qrot, axis=1)
+        cn = jnp.sum(centers_rot * centers_rot, axis=1)
+        offs = qn[:, None] + cn[probe_ids] - 2.0 * sel
+    pv = (pv + offs[:, :, None]).reshape(nq, p * Fc)
+
+    kk = min(k, p * Fc)
+    tv, tl = topk(pv, kk, True, recall_target)
+    ok = jnp.isfinite(tv)
+    al_pad = jnp.append(al, 0)
+    probe_j = tl // Fc
+    tile_sel = jnp.take_along_axis(pair_tile, probe_j, axis=1)
+    off = jnp.take_along_axis(po, tl, axis=1).astype(jnp.int32)
+    pos = al_pad[tile_sel] + off * 128 + ((tl % Fc) % 128)
+    fi = jnp.where(ok, lists.ids[jnp.where(ok, pos, 0)], 0)
+
+    if ip:
+        fv = jnp.where(ok, -tv, -jnp.inf)
+    else:
+        fv = jnp.where(ok, jnp.maximum(tv, 0.0), jnp.inf)
+        fv = ivf.postprocess_distances(fv, metric)
+    if kk < k:
+        fv = jnp.pad(fv, ((0, 0), (0, k - kk)),
+                     constant_values=-jnp.inf if ip else jnp.inf)
+        fi = jnp.pad(fi, ((0, 0), (0, k - kk)))
+    return fv, fi
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(

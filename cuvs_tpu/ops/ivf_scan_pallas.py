@@ -192,6 +192,241 @@ def _scan_kernel(
         out_i_ref[0, :, r * 128 : (r + 1) * 128] = bidx[r].astype(jnp.uint8)
 
 
+def _pq_scan_kernel(
+    # scalar prefetch
+    al_ref,      # [n_tiles+1] int32 128-aligned window starts (row units)
+    lo_ref,      # [n_tiles]   int32 first valid col within window
+    sz_ref,      # [n_tiles]   int32 valid cols (list size), 0 = empty tile
+    # inputs
+    qidx_ref,    # [1, 1, M] int32 query id per slot (-1 empty)
+    q_ref,       # [nq_pad, dp] ROTATED queries, compute dtype (VMEM)
+    ctile_ref,   # [1, dp] rotated center of this tile's cluster
+    cb_ref,      # [dp, S*book] transposed block-diagonal PQ codebook
+    codes_hbm,   # [Sw, n_pad] uint32 packed code bytes (4 codes/word)
+    norms_hbm,   # [n_norm/128, 128] f32 decoded-residual sq norms (HBM)
+    # outputs
+    out_v_ref,   # [1, M, cap*F] f32 bin-min order values
+    out_i_ref,   # [1, M, cap*F] uint8 in-bin offsets
+    # scratch
+    codes_buf,   # [2, Sw, W] uint32 VMEM
+    norm_buf,    # [2, Wn/128, 128] f32 VMEM
+    sems,        # DMA semaphores [2, 2]
+    *,
+    W: int,
+    Wn: int,
+    inner: int,
+    ip: bool,
+    nq_pad: int,
+    cap: int,
+    S: int,
+    book: int,
+):
+    """IVF-PQ analog of ``_scan_kernel`` (the reference's fused LUT scan,
+    ivf_pq_compute_similarity_impl.cuh:35-78). Instead of an ADC gather
+    per (query, row, subspace) — gathers are row-rate bound on TPU — each
+    code chunk is decoded IN VMEM with one MXU matmul: a transposed
+    one-hot [S*book, inner] (built by per-subspace byte-extract +
+    sublane-iota compare, no relayouts) times the transposed
+    block-diagonal codebook [dp, S*book] yields decoded residuals
+    [dp, inner], which feed the same dot + strided-bin epilogue as the
+    flat kernel. Codes travel as [Sw, n_pad] packed words so the window
+    DMA is Sw contiguous W*4-byte lines."""
+    t = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+    M = qidx_ref.shape[2]
+    Sw = codes_buf.shape[1]
+
+    def window_dma(slot, tile):
+        start = pl.multiple_of(al_ref[tile], 128)
+        dmas = [
+            pltpu.make_async_copy(
+                codes_hbm.at[:, pl.ds(start, W)], codes_buf.at[slot],
+                sems.at[slot, 0],
+            )
+        ]
+        if not ip:  # IP ranking needs no norms
+            nrow = pl.multiple_of((start // 1024) * 8, 8)
+            dmas.append(
+                pltpu.make_async_copy(
+                    norms_hbm.at[pl.ds(nrow, Wn // 128), :],
+                    norm_buf.at[slot], sems.at[slot, 1],
+                )
+            )
+        return dmas
+
+    @pl.when(t == 0)
+    def _():
+        for dma in window_dma(0, 0):
+            dma.start()
+
+    @pl.when(t + 1 < n_tiles)
+    def _():
+        for dma in window_dma((t + 1) % 2, t + 1):
+            dma.start()
+
+    # one-hot gather of the tile's query rows (see _scan_kernel); L2 mode
+    # then shifts to the cluster frame: q' = R q - center_rot, so the
+    # kernel scores ||y||^2 - 2 q'.y and the caller adds ||q'||^2
+    qidx = qidx_ref[0, 0, :].reshape(M, 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (M, nq_pad), 1)
+    onehot = (col == qidx).astype(q_ref.dtype)
+    qtile = jnp.dot(onehot, q_ref[:], preferred_element_type=jnp.float32
+                    ).astype(q_ref.dtype)
+    if not ip:
+        qtile = qtile - ctile_ref[:]
+
+    slot = t % 2
+    for dma in window_dma(slot, t):
+        dma.wait()
+
+    lo = lo_ref[t]
+    hi = lo + sz_ref[t]
+    nshift = (al_ref[t] // 128) % 8
+    blocks = W // 128
+
+    cix = (jax.lax.broadcasted_iota(jnp.int32, (blocks, 128), 0) * 128
+           + jax.lax.broadcasted_iota(jnp.int32, (blocks, 128), 1))
+    valid = (cix >= lo) & (cix < hi)
+    if ip:
+        pen = jnp.where(valid, 0.0, jnp.inf)
+    else:
+        nrm = norm_buf[slot, pl.ds(nshift, blocks), :]
+        pen = jnp.where(valid, nrm * 0.5, jnp.inf)
+
+    NEG = jnp.float32(-jnp.inf)
+    best = [jnp.full((M, 128), NEG, jnp.float32) for _ in range(cap)]
+    bidx = [jnp.zeros((M, 128), jnp.int32) for _ in range(cap)]
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (book, inner), 0)
+    for j in range(W // inner):
+        # ---- decode this chunk in VMEM: one-hot^T @ codebook^T ----
+        oh_rows = []
+        for s in range(S):
+            word = codes_buf[slot, s // 4 : s // 4 + 1,
+                             j * inner : (j + 1) * inner]  # [1, inner] u32
+            byte = jax.lax.shift_right_logical(
+                word, jnp.uint32(8 * (s % 4))).astype(jnp.int32) & 0xFF
+            oh_rows.append((sub_iota == byte).astype(q_ref.dtype))
+        oh = jnp.concatenate(oh_rows, axis=0)  # [S*book, inner]
+        dec = jnp.dot(cb_ref[:], oh, preferred_element_type=jnp.float32
+                      ).astype(q_ref.dtype)  # [dp, inner]
+        dots = jnp.dot(qtile, dec, preferred_element_type=jnp.float32)
+        fj = inner // 128
+        for c in range(fj):
+            cc = j * fj + c
+            v_in = dots[:, c * 128 : (c + 1) * 128] - pen[cc : cc + 1, :]
+            i_in = jnp.int32(cc)
+            for r in range(cap):
+                tk = v_in > best[r]
+                if r + 1 < cap:
+                    best[r], v_in = (jnp.where(tk, v_in, best[r]),
+                                     jnp.where(tk, best[r], v_in))
+                    bidx[r], i_in = (jnp.where(tk, i_in, bidx[r]),
+                                     jnp.where(tk, bidx[r], i_in))
+                else:
+                    best[r] = jnp.where(tk, v_in, best[r])
+                    bidx[r] = jnp.where(tk, i_in, bidx[r])
+
+    # order values, min-space: L2 = ||y||^2 - 2 q'.y = -2*neg (caller
+    # adds ||q'||^2 per probe); IP = -q.y - (caller adds -q.center)
+    f = -1.0 if ip else -2.0
+    for r in range(cap):
+        out_v_ref[0, :, r * 128 : (r + 1) * 128] = f * best[r]
+        out_i_ref[0, :, r * 128 : (r + 1) * 128] = bidx[r].astype(jnp.uint8)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("W", "m_tile", "inner", "ip", "cap", "book",
+                     "interpret"),
+)
+def fused_pq_scan(
+    codes_t,       # [Sw, n_pad] uint32 packed code bytes, list-sorted
+    sorted_norms,  # [n_norm] f32 decoded-residual sq norms (sorted order)
+    queries_rot,   # [nq, dp] rotated queries, compute dtype, dp % 128 == 0
+    cb_t,          # [dp, S*book] transposed block-diagonal codebook
+    centers_tile,  # [n_tiles, dp] rotated center rows per tile
+    qidx,          # [n_tiles, M] int32 query per slot (-1 empty)
+    starts_al,     # [n_tiles] int32 128-aligned window starts
+    lo,            # [n_tiles] int32 first valid col in window
+    sizes,         # [n_tiles] int32 list size (0 = empty tile)
+    W: int,
+    m_tile: int,
+    inner: int,
+    ip: bool,
+    cap: int = 2,
+    book: int = 256,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Run the fused PQ scan. Same output contract as ``fused_ivf_scan``
+    (order values are ||y||^2 - 2 q'.y for L2 / -q.y for IP; the caller
+    adds the per-(query, probe) cluster term before the cross-probe
+    top-k)."""
+    n_tiles, M = qidx.shape
+    nq, dp = queries_rot.shape
+    Sw = codes_t.shape[0]
+    S = cb_t.shape[1] // book
+    F = cap * 128
+    Wn = -(-(W + 896) // 1024) * 1024
+    need = (codes_t.shape[1] // 1024 + 1) * 1024 + Wn
+    if sorted_norms.shape[0] < need:
+        sorted_norms = jnp.pad(sorted_norms,
+                               (0, need - sorted_norms.shape[0]))
+    norms2 = sorted_norms[: (sorted_norms.shape[0] // 128) * 128].reshape(-1, 128)
+    nq_pad = -(-nq // 8) * 8
+    qp = jnp.pad(queries_rot, ((0, nq_pad - nq), (0, 0)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 1, M), lambda t, al, lo_, sz: (t, 0, 0)),
+            pl.BlockSpec((nq_pad, dp), lambda t, al, lo_, sz: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dp), lambda t, al, lo_, sz: (t, 0)),
+            pl.BlockSpec((dp, S * book), lambda t, al, lo_, sz: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, M, F), lambda t, al, lo_, sz: (t, 0, 0)),
+            pl.BlockSpec((1, M, F), lambda t, al, lo_, sz: (t, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, Sw, W), jnp.uint32),
+            pltpu.VMEM((2, Wn // 128, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    kernel = functools.partial(
+        _pq_scan_kernel, W=W, Wn=Wn, inner=inner, ip=ip, nq_pad=nq_pad,
+        cap=cap, S=S, book=book,
+    )
+    out_v, out_i = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, M, F), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, M, F), jnp.uint8),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        jnp.append(jnp.asarray(starts_al, jnp.int32), 0),
+        jnp.asarray(lo, jnp.int32),
+        jnp.asarray(sizes, jnp.int32),
+        qidx[:, None, :],
+        qp,
+        centers_tile,
+        cb_t,
+        codes_t,
+        norms2,
+    )
+    return out_v, out_i
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("W", "m_tile", "inner", "ip", "int8_mode", "cap",

@@ -127,6 +127,8 @@ def _builders():
             pq_bits=s["pq_bits"],
             codebook_gen=s.get("codebook_gen", "per_subspace"),
             pq_dim_static=s.get("pq_dim_static", 0),
+            sorted_codes_t=a.get(".sorted_codes_t"),
+            sorted_code_norms=a.get(".sorted_code_norms"),
         )
 
     def build_cagra(a, s):

@@ -1,0 +1,96 @@
+"""IVF-PQ at 10M x 96 through the fused Pallas PQ scan (BASELINE
+config 3 shape: DEEP-10M-class, PQ + refine).
+
+Round-2 state: the unfused decode-and-dot served 0.6k QPS @ 0.917 — the
+reconstruction gather and the HBM order tensor dominated. The fused
+kernel (ops/ivf_scan_pallas.py::fused_pq_scan) decodes in VMEM with
+one-hot MXU matmuls; this script records its recall/QPS ladder plus an
+exact bf16 device refine pass (refine ratio 4).
+
+Prints one line per config: recall@10 + QPS over 4096 queries.
+"""
+
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.jax_cache"))
+
+import numpy as np
+
+N = int(os.environ.get("N_ROWS", 10_000_000))
+D = 96
+NQ = int(os.environ.get("NQ", 4096))
+K = 10
+N_LISTS = int(os.environ.get("N_LISTS", 4096))
+CAND = int(os.environ.get("CAND", 40))
+PQ_DIM = int(os.environ.get("PQ_DIM", 48))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from cuvs_tpu.neighbors import ivf_pq, refine
+    from cuvs_tpu.ops import bf_topk_pallas
+
+    print(f"# {jax.devices()}", file=sys.stderr, flush=True)
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    r = D // 4
+    proj = jax.random.normal(k1, (r, D), jnp.float32) / np.sqrt(r)
+    x = (jax.random.normal(k2, (N, r), jnp.float32) @ proj
+         + 0.05 * jax.random.normal(k3, (N, D), jnp.float32))
+    q = (jax.random.normal(k4, (NQ, r), jnp.float32) @ proj
+         + 0.05 * jax.random.normal(jax.random.PRNGKey(9), (NQ, D),
+                                    jnp.float32))
+    x = jax.block_until_ready(x)
+    print("# data ready", file=sys.stderr, flush=True)
+
+    x16 = x.astype(jnp.bfloat16)
+    gtd, gti = bf_topk_pallas.search(x16, None, q, K,
+                                     compute_dtype=jnp.bfloat16, exact=False)
+    gti = np.asarray(gti)
+    print("# ground truth done", file=sys.stderr, flush=True)
+
+    t0 = time.time()
+    idx = ivf_pq.build(x, n_lists=N_LISTS, pq_dim=PQ_DIM, seed=0)
+    jax.block_until_ready(idx.sorted_codes_t)
+    print(f"# build: {time.time()-t0:.0f}s window={idx.window}",
+          file=sys.stderr, flush=True)
+    del x  # keep only the bf16 copy for refine
+
+    def recall(i):
+        return float(np.mean([
+            len(set(a.tolist()) & set(b.tolist())) / K
+            for a, b in zip(np.asarray(i), gti)
+        ]))
+
+    def bench(label, fn, reps=3):
+        _, di = fn()
+        rec = recall(di)
+        t0 = time.time()
+        for _ in range(reps):
+            out = fn()
+        jax.block_until_ready(out[0])
+        qps = NQ * reps / (time.time() - t0)
+        print(f"{label}: recall@10={rec:.4f} qps={qps:.0f}", flush=True)
+
+    for p in (64, 128, 256):
+        sp = ivf_pq.SearchParams(n_probes=p, scan_algo="fused")
+        bench(f"pq fused p={p}", lambda: ivf_pq.search(idx, q, K, sp))
+
+    for p in (64, 128):
+        sp = ivf_pq.SearchParams(n_probes=p, scan_algo="fused")
+
+        def rsearch():
+            _, cand = ivf_pq.search(idx, q, CAND, sp)
+            return refine.refine(x16, q, cand, K,
+                                 compute_dtype=jnp.bfloat16)
+
+        bench(f"pq fused p={p} + bf16 refine", rsearch)
+
+
+if __name__ == "__main__":
+    main()

@@ -184,3 +184,66 @@ def test_tile_bound_sufficient_adversarial(capfd):
     assert int((np.asarray(pt) >= small).sum()) > 0
     err = capfd.readouterr()
     assert "dropped" in (err.out + err.err)
+
+
+class TestFusedPQScan:
+    """Fused Pallas PQ scan (interpret mode on CPU): in-VMEM one-hot
+    decode + bin select vs the unfused decode-and-dot scan and vs naive
+    ground truth (reference analog: ivf_pq_compute_similarity_impl.cuh)."""
+
+    def _build(self, metric="sqeuclidean", n=6000, d=48, nq=96):
+        from cuvs_tpu.neighbors import ivf_pq
+
+        rng = np.random.default_rng(11)
+        x = make_blobs(rng, n, d)
+        q = make_blobs(rng, nq, d)
+        idx = ivf_pq.build(x, n_lists=32, pq_dim=d // 2, seed=0,
+                           metric=metric)
+        assert idx.sorted_codes_t is not None
+        return idx, x, q
+
+    def _agree(self, a, b, k):
+        return np.mean([
+            len(set(r1.tolist()) & set(r2.tolist())) / k
+            for r1, r2 in zip(np.asarray(a), np.asarray(b))
+        ])
+
+    def test_matches_unfused_l2(self):
+        from cuvs_tpu.neighbors import ivf_pq
+
+        idx, x, q = self._build()
+        df, i_f = ivf_pq.search(
+            idx, q, 10, ivf_pq.SearchParams(n_probes=32, scan_algo="fused"))
+        dc, i_c = ivf_pq.search(
+            idx, q, 10,
+            ivf_pq.SearchParams(n_probes=32, scan_algo="cluster_major"))
+        # same ADC math, bf16 fused vs f32 unfused: near-tie flips only
+        assert self._agree(i_f, i_c, 10) >= 0.9
+        # ADC distances must track the unfused scan's values
+        np.testing.assert_allclose(
+            np.sort(np.asarray(df), axis=1)[:, :5],
+            np.sort(np.asarray(dc), axis=1)[:, :5], rtol=0.05, atol=0.5,
+        )
+
+    def test_inner_product(self):
+        from cuvs_tpu.neighbors import ivf_pq
+
+        idx, x, q = self._build(metric="inner_product")
+        df, i_f = ivf_pq.search(
+            idx, q, 10, ivf_pq.SearchParams(n_probes=32, scan_algo="fused"))
+        dc, i_c = ivf_pq.search(
+            idx, q, 10,
+            ivf_pq.SearchParams(n_probes=32, scan_algo="cluster_major"))
+        assert self._agree(i_f, i_c, 10) >= 0.9
+
+    def test_refined_recall(self):
+        from cuvs_tpu.neighbors import ivf_pq, refine
+        from tests.utils import naive_knn, calc_recall
+
+        idx, x, q = self._build()
+        _, cand = ivf_pq.search(
+            idx, q, 40, ivf_pq.SearchParams(n_probes=32, scan_algo="fused"))
+        dv, di = refine.refine(x, q, cand, 10)
+        gtd, gti = naive_knn(q, x, 10)
+        rec = calc_recall(np.asarray(di), gti, np.asarray(dv), gtd)
+        assert rec >= 0.95, rec
