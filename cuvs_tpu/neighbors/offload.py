@@ -125,6 +125,69 @@ def search(
     return np.asarray(out_d), np.asarray(out_i)
 
 
+@dataclasses.dataclass
+class HostRefinedIndex:
+    """Device-resident quantized ANN index + HOST-resident raw vectors.
+
+    The single-chip big-dataset serving shape (docs/scale.md): the chip
+    holds only the quantized ranking index (e.g. a 100M int8/PQ IVF in
+    ~5-13 GB), the raw f32 rows stay in host RAM (or on disk via a
+    reader), and every search re-ranks its k*ratio candidates exactly
+    through refine_host — only ~k*ratio rows per query ever cross the
+    host->device link. Reference analog: snmg.cuh:127-166 composed with
+    refine_host.hpp.
+    """
+
+    algo: str
+    device_index: Any
+    host_vectors: Any  # np.ndarray / np.memmap / reader with .read()
+    metric: Any = DistanceType.L2Expanded
+
+
+def build_host_refined(
+    dataset,
+    algo: str = "ivf_flat",
+    index_params=None,
+    **build_kw,
+) -> HostRefinedIndex:
+    """Build the quantized device index over ``dataset`` while keeping
+    the raw rows host-side as the exact refine source. For datasets that
+    exceed host-staging comfort use ivf_flat.build_streaming directly
+    and wrap the result with HostRefinedIndex."""
+    module = _module(algo)
+    arr = dataset if hasattr(dataset, "read") else np.asarray(dataset)
+    rows = arr.read(0, arr.n_rows) if hasattr(arr, "read") else arr
+    if index_params is not None:
+        sub = module.build(rows, index_params)
+    else:
+        sub = module.build(rows, **build_kw)
+    return HostRefinedIndex(
+        algo=algo, device_index=sub, host_vectors=arr,
+        metric=getattr(sub, "metric", DistanceType.L2Expanded),
+    )
+
+
+def search_refined(
+    index: HostRefinedIndex,
+    queries,
+    k: int,
+    refine_ratio: int = 4,
+    **search_kw,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Quantized device ranking -> exact host re-rank of k*refine_ratio
+    candidates (refine_host semantics: only the candidate rows are
+    gathered from host RAM and uploaded)."""
+    from cuvs_tpu.neighbors import refine as refine_mod
+
+    module = _module(index.algo)
+    cand_k = max(k, k * refine_ratio)
+    _, cand = module.search(index.device_index, queries, cand_k, **search_kw)
+    return refine_mod.refine_host(
+        index.host_vectors, np.asarray(queries), np.asarray(cand), k,
+        metric=index.metric,
+    )
+
+
 def save(path: str, index: OffloadIndex) -> None:
     """One serialized sub-index per shard + a distribution header (the
     snmg.cuh:46-90 per-rank layout)."""

@@ -54,3 +54,15 @@ def test_offload_roundtrip(tmp_path):
     idx2 = offload.load(p)
     d2, i2 = offload.search(idx2, q, 5, n_probes=8)
     np.testing.assert_array_equal(i1, i2)
+
+
+def test_host_refined_index():
+    """Device quantized ranking + host exact re-rank as a library
+    surface (the single-chip 100M serving shape, docs/scale.md)."""
+    x = make_blobs(RNG, 6000, 24)
+    q = make_blobs(RNG, 32, 24)
+    idx = offload.build_host_refined(
+        x, algo="ivf_flat", n_lists=16, seed=0, storage_dtype=np.int8)
+    d, i = offload.search_refined(idx, q, 10, refine_ratio=4, n_probes=16)
+    gtd, gti = naive_knn(q, x, 10)
+    assert calc_recall(np.asarray(i), gti, np.asarray(d), gtd) >= 0.95
