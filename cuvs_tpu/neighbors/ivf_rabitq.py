@@ -79,6 +79,7 @@ class SearchParams:
     n_probes: int = 20
     compute_dtype: object = jnp.bfloat16
     recall_target: object = None
+    scan_algo: str = "auto"  # see ivf_flat.SearchParams.scan_algo
 
 
 @flax.struct.dataclass
@@ -95,6 +96,10 @@ class Index:
     window: int = flax.struct.field(pytree_node=False, default=128)
     n_rows: int = flax.struct.field(pytree_node=False, default=0)
     bits_per_dim: int = flax.struct.field(pytree_node=False, default=3)
+    # fused-scan serving layout: the SAME bit-packed words transposed to
+    # [ceil(d*bits/32), n + W] for contiguous per-word-row window DMA
+    # (ops/ivf_scan_pallas.py::fused_pq_scan mode="rabitq")
+    sorted_codes_t: Optional[jnp.ndarray] = None
 
     @property
     def n_lists(self):
@@ -193,12 +198,16 @@ def build(dataset, params: Optional[IndexParams] = None, **kw) -> Index:
     window = ivf.round_window(int(jnp.max(jnp.zeros((n_lists,), jnp.int32).at[labels].add(1))))
     order, lists = ivf.sort_by_label(labels, n_lists, pad=window)
     pad1 = lambda a, v=0: jnp.pad(a, [(0, window)] + [(0, 0)] * (a.ndim - 1), constant_values=v)
+    sorted_codes = pad1(codes[order]).astype(jnp.uint32)
+    # fused path covers bits <= 8 (book = 2^bits one-hot rows per dim)
+    codes_t = sorted_codes.T.copy() if params.bits_per_dim <= 8 else None
     return Index(
         centers=centers,
         center_norms=pairwise.row_norms(centers),
         rotation=rotation,
         centers_rot=centers_rot,
-        sorted_codes=pad1(codes[order]).astype(jnp.uint32),
+        sorted_codes=sorted_codes,
+        sorted_codes_t=codes_t,
         sorted_fadd=pad1(fadd[order]),
         sorted_frescale=pad1(frescale[order]),
         lists=lists,
@@ -293,6 +302,65 @@ def search(
     if prefilter is None:
         prefilter = filt.no_filter()
     queries = jnp.asarray(queries)
+    nq = queries.shape[0]
+    n_probes = min(params.n_probes, index.n_lists)
+
+    algo = params.scan_algo
+    traced_ctx = isinstance(queries, jax.core.Tracer)
+    fused_ok = (
+        index.sorted_codes_t is not None
+        and (prefilter is None or prefilter.is_none)
+        and index.metric in (
+            DistanceType.L2Expanded,
+            DistanceType.L2SqrtExpanded,
+            DistanceType.InnerProduct,
+        )
+        and not traced_ctx
+    )
+    if algo == "auto":
+        algo = (
+            "fused"
+            if (fused_ok and jax.default_backend() == "tpu"
+                and nq * n_probes >= 4 * index.n_lists)
+            else "query_major"
+        )
+    if algo == "fused" and not fused_ok:
+        algo = "query_major"
+    if algo == "fused":
+        from cuvs_tpu.neighbors import ivf_scan
+
+        qf = jnp.asarray(queries, jnp.float32)
+        probe_ids = ivf.coarse_search(
+            qf, index.centers, index.center_norms, n_probes, index.metric)
+        ip = index.metric == DistanceType.InnerProduct
+        # metric-effective factors (see cluster_major_scan_rabitq_fused)
+        if ip:
+            fa = jnp.zeros_like(index.sorted_fadd)
+            fr = 0.5 * index.sorted_frescale
+        else:
+            fa, fr = index.sorted_fadd, index.sorted_frescale
+        M = int(min(128, max(8, nq)))
+        n_tiles = nq * n_probes // M + min(index.n_lists, nq * n_probes) + 1
+        cap = int(min(32, max(2, -(-k // 32))))
+        return ivf_scan.cluster_major_scan_rabitq_fused(
+            index.sorted_codes_t,
+            fa,
+            fr,
+            index.centers_rot,
+            index.rotation,
+            index.lists,
+            qf,
+            probe_ids,
+            int(k),
+            index.metric,
+            index.window,
+            M,
+            int(n_tiles),
+            int(index.bits_per_dim),
+            None if params.recall_target is None else float(params.recall_target),
+            bin_cap=cap,
+            interpret=jax.default_backend() != "tpu",
+        )
     return _search_impl(
         index.centers,
         index.center_norms,

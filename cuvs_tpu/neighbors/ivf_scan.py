@@ -633,24 +633,39 @@ def cluster_major_scan_pq_fused(
         W=W_k, m_tile=M, inner=ib * 128, ip=ip, cap=cap, book=book,
         interpret=interpret,
     )
-    Fc = cap * 128
-
-    out_v = jnp.pad(out_v, ((0, 1), (0, 0), (0, 0)), constant_values=jnp.inf)
-    out_i = jnp.pad(out_i, ((0, 1), (0, 0), (0, 0)))
-    pv = out_v[pair_tile, pair_slot]  # [nq, p, Fc]
-    po = out_i[pair_tile, pair_slot].reshape(nq, p * Fc)
-
     # per-(query, probe) cluster term: L2 adds ||q' - c_rot||^2's query
     # part ||Rq - c_rot||^2; IP adds -q.center (q.x = q.c + q_rot.y)
+    offs = _cluster_offsets(qrot, centers_rot, probe_ids, ip)
+    return _pool_with_offsets(
+        out_v, out_i, pair_tile, pair_slot, al, lists, offs, k, metric,
+        ip, cap, recall_target,
+    )
+
+
+def _cluster_offsets(qrot, centers_rot, probe_ids, ip):
+    """Per-(query, probe) cluster term added outside the fused quantized
+    kernels: -q.center for IP ranking, ||Rq - c_rot||^2 for L2."""
     qcd = jnp.einsum("nd,cd->nc", qrot, centers_rot,
                      preferred_element_type=jnp.float32)
     sel = jnp.take_along_axis(qcd, probe_ids, axis=1)  # [nq, p]
     if ip:
-        offs = -sel
-    else:
-        qn = jnp.sum(qrot * qrot, axis=1)
-        cn = jnp.sum(centers_rot * centers_rot, axis=1)
-        offs = qn[:, None] + cn[probe_ids] - 2.0 * sel
+        return -sel
+    qn = jnp.sum(qrot * qrot, axis=1)
+    cn = jnp.sum(centers_rot * centers_rot, axis=1)
+    return qn[:, None] + cn[probe_ids] - 2.0 * sel
+
+
+def _pool_with_offsets(out_v, out_i, pair_tile, pair_slot, al, lists, offs,
+                       k, metric, ip, cap, recall_target):
+    """Shared fused-kernel postlude: sentinel-pad the tile pool, add the
+    per-probe offsets, cross-probe top-k, recover global ids from
+    (window start, 128-slice, lane)."""
+    nq, p = pair_tile.shape
+    Fc = cap * 128
+    out_v = jnp.pad(out_v, ((0, 1), (0, 0), (0, 0)), constant_values=jnp.inf)
+    out_i = jnp.pad(out_i, ((0, 1), (0, 0), (0, 0)))
+    pv = out_v[pair_tile, pair_slot]  # [nq, p, Fc]
+    po = out_i[pair_tile, pair_slot].reshape(nq, p * Fc)
     pv = (pv + offs[:, :, None]).reshape(nq, p * Fc)
 
     kk = min(k, p * Fc)
@@ -673,6 +688,86 @@ def cluster_major_scan_pq_fused(
                      constant_values=-jnp.inf if ip else jnp.inf)
         fi = jnp.pad(fi, ((0, 0), (0, k - kk)))
     return fv, fi
+
+
+def cluster_major_scan_rabitq_fused(
+    codes_t,
+    sorted_fa,
+    sorted_fr,
+    centers_rot,
+    rotation,
+    lists,
+    queries_f32,
+    probe_ids,
+    k,
+    metric,
+    window,
+    m_tile,
+    n_tiles,
+    bits,
+    recall_target=None,
+    bin_cap=None,
+    interpret=False,
+):
+    """IVF-RaBitQ cluster-major search through the fused quantized-code
+    kernel: bit-packed levels are decoded in VMEM (the decode matrix
+    carries the centered xu = level + k_b values, absorbing the
+    per-query k_b * sum(q_rot) term) and the unbiased estimator's window
+    part fa + fr * <q_rot, xu> is the kernel epilogue. Reference analog:
+    bitwise_emit_distances_kernel.cu.in:85-108. Rankings feed refine().
+
+    ``sorted_fa``/``sorted_fr`` are the METRIC-EFFECTIVE factors:
+    (f_add, f_rescale) for L2, (0, 0.5*f_rescale) for InnerProduct — the
+    caller folds the transform so the kernel is metric-agnostic."""
+    from cuvs_tpu.ops import ivf_scan_pallas
+
+    nq, d = queries_f32.shape
+    n_lists = lists.offsets.shape[0]
+    M = m_tile
+    ip = metric == DistanceType.InnerProduct
+    rot_dim = rotation.shape[0]
+    dp = -(-rot_dim // 128) * 128
+    n_pad = codes_t.shape[1]
+    W_k = window + 128
+    book = 1 << bits
+
+    tile_cluster, qidx, pair_tile, pair_slot = group_pairs_tiled(
+        probe_ids, n_lists, M, n_tiles
+    )
+    safe_c = jnp.clip(tile_cluster, 0, n_lists - 1)
+    start = lists.offsets[safe_c]
+    al = (start // 128) * 128
+    al = jnp.minimum(al, ((n_pad - W_k) // 128) * 128)
+    lo = start - al
+    sizes = jnp.where(tile_cluster >= 0, lists.sizes[safe_c], 0)
+
+    cdt = jnp.bfloat16
+    qrot = queries_f32 @ rotation.T
+    qrot_p = jnp.pad(qrot, ((0, 0), (0, dp - rot_dim))).astype(cdt)
+    crot_p = jnp.pad(centers_rot, ((0, 0), (0, dp - rot_dim))).astype(cdt)
+    centers_tile = crot_p[safe_c]
+
+    # decode matrix: entry (s*book + c, s) = c + k_b (the centered level)
+    kb = -((1 << bits) - 1) / 2.0
+    levels = (jnp.arange(book, dtype=jnp.float32) + kb)[None, :, None]
+    xu_tab = jnp.broadcast_to(levels, (rot_dim, book, 1))
+    cb_t = block_diag_codebook(xu_tab, dp, cdt)
+
+    blocks = W_k // 128
+    ib = max(b for b in range(1, min(blocks, 4) + 1) if blocks % b == 0)
+    cap = int(bin_cap) if bin_cap else int(min(32, max(2, -(-k // 32))))
+    out_v, out_i = ivf_scan_pallas.fused_pq_scan(
+        codes_t, sorted_fa, qrot_p, cb_t, centers_tile,
+        qidx, al, lo, sizes,
+        W=W_k, m_tile=M, inner=ib * 128, ip=ip, cap=cap, book=book,
+        bits=bits, mode="rabitq", sorted_fr=sorted_fr,
+        interpret=interpret,
+    )
+    offs = _cluster_offsets(qrot, centers_rot, probe_ids, ip)
+    return _pool_with_offsets(
+        out_v, out_i, pair_tile, pair_slot, al, lists, offs, k, metric,
+        ip, cap, recall_target,
+    )
 
 
 @functools.partial(

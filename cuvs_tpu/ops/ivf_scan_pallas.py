@@ -201,17 +201,11 @@ def _pq_scan_kernel(
     qidx_ref,    # [1, 1, M] int32 query id per slot (-1 empty)
     q_ref,       # [nq_pad, dp] ROTATED queries, compute dtype (VMEM)
     ctile_ref,   # [1, dp] rotated center of this tile's cluster
-    cb_ref,      # [dp, S*book] transposed block-diagonal PQ codebook
-    codes_hbm,   # [Sw, n_pad] uint32 packed code bytes (4 codes/word)
-    norms_hbm,   # [n_norm/128, 128] f32 decoded-residual sq norms (HBM)
-    # outputs
-    out_v_ref,   # [1, M, cap*F] f32 bin-min order values
-    out_i_ref,   # [1, M, cap*F] uint8 in-bin offsets
-    # scratch
-    codes_buf,   # [2, Sw, W] uint32 VMEM
-    norm_buf,    # [2, Wn/128, 128] f32 VMEM
-    sems,        # DMA semaphores [2, 2]
-    *,
+    cb_ref,      # [dp, S*book] transposed block-diagonal decode matrix
+    codes_hbm,   # [Sw, n_pad] uint32 bit-packed codes (bits each)
+    *rest,       # mode "pq":     norms_hbm, outs, codes_buf, norm_buf, sems
+                 # mode "rabitq": fa_hbm, fr_hbm, outs, codes_buf, fa_buf,
+                 #                fr_buf, sems
     W: int,
     Wn: int,
     inner: int,
@@ -220,20 +214,34 @@ def _pq_scan_kernel(
     cap: int,
     S: int,
     book: int,
+    bits: int,
+    mode: str,
 ):
-    """IVF-PQ analog of ``_scan_kernel`` (the reference's fused LUT scan,
-    ivf_pq_compute_similarity_impl.cuh:35-78). Instead of an ADC gather
-    per (query, row, subspace) — gathers are row-rate bound on TPU — each
-    code chunk is decoded IN VMEM with one MXU matmul: a transposed
-    one-hot [S*book, inner] (built by per-subspace byte-extract +
-    sublane-iota compare, no relayouts) times the transposed
-    block-diagonal codebook [dp, S*book] yields decoded residuals
-    [dp, inner], which feed the same dot + strided-bin epilogue as the
-    flat kernel. Codes travel as [Sw, n_pad] packed words so the window
-    DMA is Sw contiguous W*4-byte lines."""
+    """Quantized-code analog of ``_scan_kernel`` (the reference's fused
+    LUT scans: ivf_pq_compute_similarity_impl.cuh:35-78, RaBitQ
+    bitwise_emit_distances_kernel.cu.in:85-108). Instead of an ADC
+    gather per (query, row, subspace) — gathers are row-rate bound on
+    TPU — each code chunk is decoded IN VMEM with one MXU matmul: a
+    transposed one-hot [S*book, inner] (built by per-subspace static
+    bit-extract + sublane-iota compare, no relayouts) times the
+    transposed block-diagonal decode matrix [dp, S*book]. Codes travel
+    as [Sw, n_pad] packed words (exact bit-packed memory parity) so the
+    window DMA is Sw contiguous W*4-byte lines.
+
+    Epilogues: mode "pq" scores q'.y - 0.5||y||^2 against decoded
+    residual norms (order out = ||y||^2 - 2 q'.y); mode "rabitq" scores
+    the unbiased estimator's window part -(fa + fr * <q_rot, xu>) with
+    two per-row factor arrays (order out = fa + fr*dots; the centering
+    constant k_b rides the decode matrix as xu = level + k_b)."""
     t = pl.program_id(0)
     n_tiles = pl.num_programs(0)
     M = qidx_ref.shape[2]
+    rabitq = mode == "rabitq"
+    if rabitq:
+        (fa_hbm, fr_hbm, out_v_ref, out_i_ref, codes_buf, fa_buf, fr_buf,
+         sems) = rest
+    else:
+        norms_hbm, out_v_ref, out_i_ref, codes_buf, norm_buf, sems = rest
     Sw = codes_buf.shape[1]
 
     def window_dma(slot, tile):
@@ -244,14 +252,18 @@ def _pq_scan_kernel(
                 sems.at[slot, 0],
             )
         ]
-        if not ip:  # IP ranking needs no norms
-            nrow = pl.multiple_of((start // 1024) * 8, 8)
-            dmas.append(
-                pltpu.make_async_copy(
-                    norms_hbm.at[pl.ds(nrow, Wn // 128), :],
-                    norm_buf.at[slot], sems.at[slot, 1],
-                )
-            )
+        nrow = pl.multiple_of((start // 1024) * 8, 8)
+        if rabitq:
+            dmas.append(pltpu.make_async_copy(
+                fa_hbm.at[pl.ds(nrow, Wn // 128), :], fa_buf.at[slot],
+                sems.at[slot, 1]))
+            dmas.append(pltpu.make_async_copy(
+                fr_hbm.at[pl.ds(nrow, Wn // 128), :], fr_buf.at[slot],
+                sems.at[slot, 2]))
+        elif not ip:  # PQ-IP ranking needs no norms
+            dmas.append(pltpu.make_async_copy(
+                norms_hbm.at[pl.ds(nrow, Wn // 128), :], norm_buf.at[slot],
+                sems.at[slot, 1]))
         return dmas
 
     @pl.when(t == 0)
@@ -264,15 +276,16 @@ def _pq_scan_kernel(
         for dma in window_dma((t + 1) % 2, t + 1):
             dma.start()
 
-    # one-hot gather of the tile's query rows (see _scan_kernel); L2 mode
-    # then shifts to the cluster frame: q' = R q - center_rot, so the
-    # kernel scores ||y||^2 - 2 q'.y and the caller adds ||q'||^2
+    # one-hot gather of the tile's query rows (see _scan_kernel); PQ-L2
+    # shifts to the cluster frame: q' = R q - center_rot, so the kernel
+    # scores ||y||^2 - 2 q'.y and the caller adds ||q'||^2. RaBitQ keeps
+    # raw R q (its cluster term g_add is applied by the caller).
     qidx = qidx_ref[0, 0, :].reshape(M, 1)
     col = jax.lax.broadcasted_iota(jnp.int32, (M, nq_pad), 1)
     onehot = (col == qidx).astype(q_ref.dtype)
     qtile = jnp.dot(onehot, q_ref[:], preferred_element_type=jnp.float32
                     ).astype(q_ref.dtype)
-    if not ip:
+    if not ip and not rabitq:
         qtile = qtile - ctile_ref[:]
 
     slot = t % 2
@@ -287,7 +300,12 @@ def _pq_scan_kernel(
     cix = (jax.lax.broadcasted_iota(jnp.int32, (blocks, 128), 0) * 128
            + jax.lax.broadcasted_iota(jnp.int32, (blocks, 128), 1))
     valid = (cix >= lo) & (cix < hi)
-    if ip:
+    if rabitq:
+        # fa poisoned to +inf off-window makes v = -(fa + fr*dots) = -inf
+        fa_pen = jnp.where(valid, fa_buf[slot, pl.ds(nshift, blocks), :],
+                           jnp.inf)
+        fr_blk = fr_buf[slot, pl.ds(nshift, blocks), :]
+    elif ip:
         pen = jnp.where(valid, 0.0, jnp.inf)
     else:
         nrm = norm_buf[slot, pl.ds(nshift, blocks), :]
@@ -297,15 +315,22 @@ def _pq_scan_kernel(
     best = [jnp.full((M, 128), NEG, jnp.float32) for _ in range(cap)]
     bidx = [jnp.zeros((M, 128), jnp.int32) for _ in range(cap)]
     sub_iota = jax.lax.broadcasted_iota(jnp.int32, (book, inner), 0)
+    mask_v = (1 << bits) - 1
     for j in range(W // inner):
-        # ---- decode this chunk in VMEM: one-hot^T @ codebook^T ----
+        # ---- decode this chunk in VMEM: one-hot^T @ decode-matrix^T ----
         oh_rows = []
         for s in range(S):
-            word = codes_buf[slot, s // 4 : s // 4 + 1,
+            lo_bit = s * bits
+            w0, sh = lo_bit // 32, lo_bit % 32
+            word = codes_buf[slot, w0 : w0 + 1,
                              j * inner : (j + 1) * inner]  # [1, inner] u32
-            byte = jax.lax.shift_right_logical(
-                word, jnp.uint32(8 * (s % 4))).astype(jnp.int32) & 0xFF
-            oh_rows.append((sub_iota == byte).astype(q_ref.dtype))
+            v = jax.lax.shift_right_logical(word, jnp.uint32(sh))
+            if sh + bits > 32 and w0 + 1 < Sw:  # code straddles words
+                v = v | (codes_buf[slot, w0 + 1 : w0 + 2,
+                                   j * inner : (j + 1) * inner]
+                         << jnp.uint32(32 - sh))
+            code = v.astype(jnp.int32) & mask_v
+            oh_rows.append((sub_iota == code).astype(q_ref.dtype))
         oh = jnp.concatenate(oh_rows, axis=0)  # [S*book, inner]
         dec = jnp.dot(cb_ref[:], oh, preferred_element_type=jnp.float32
                       ).astype(q_ref.dtype)  # [dp, inner]
@@ -313,7 +338,12 @@ def _pq_scan_kernel(
         fj = inner // 128
         for c in range(fj):
             cc = j * fj + c
-            v_in = dots[:, c * 128 : (c + 1) * 128] - pen[cc : cc + 1, :]
+            dblk = dots[:, c * 128 : (c + 1) * 128]
+            if rabitq:
+                v_in = -(fa_pen[cc : cc + 1, :]
+                         + fr_blk[cc : cc + 1, :] * dblk)
+            else:
+                v_in = dblk - pen[cc : cc + 1, :]
             i_in = jnp.int32(cc)
             for r in range(cap):
                 tk = v_in > best[r]
@@ -326,24 +356,34 @@ def _pq_scan_kernel(
                     best[r] = jnp.where(tk, v_in, best[r])
                     bidx[r] = jnp.where(tk, i_in, bidx[r])
 
-    # order values, min-space: L2 = ||y||^2 - 2 q'.y = -2*neg (caller
-    # adds ||q'||^2 per probe); IP = -q.y - (caller adds -q.center)
-    f = -1.0 if ip else -2.0
+    # order values, min-space. PQ: L2 = ||y||^2 - 2 q'.y = -2*neg (caller
+    # adds ||q'||^2 per probe); IP = -q.y (caller adds -q.center).
+    # RaBitQ: fa + fr*dots (caller adds g_add / -q.center).
+    f = -1.0 if (ip or rabitq) else -2.0
     for r in range(cap):
         out_v_ref[0, :, r * 128 : (r + 1) * 128] = f * best[r]
         out_i_ref[0, :, r * 128 : (r + 1) * 128] = bidx[r].astype(jnp.uint8)
 
 
+def _norm_layout(arr, n_pad: int, Wn: int):
+    """Pad a per-row f32 array for the 1024-aligned norm DMA and reshape
+    to the [n/128, 128] 2-D window layout."""
+    need = (n_pad // 1024 + 1) * 1024 + Wn
+    if arr.shape[0] < need:
+        arr = jnp.pad(arr, (0, need - arr.shape[0]))
+    return arr[: (arr.shape[0] // 128) * 128].reshape(-1, 128)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("W", "m_tile", "inner", "ip", "cap", "book",
-                     "interpret"),
+    static_argnames=("W", "m_tile", "inner", "ip", "cap", "book", "bits",
+                     "mode", "interpret"),
 )
 def fused_pq_scan(
-    codes_t,       # [Sw, n_pad] uint32 packed code bytes, list-sorted
-    sorted_norms,  # [n_norm] f32 decoded-residual sq norms (sorted order)
+    codes_t,       # [Sw, n_pad] uint32 bit-packed codes, list-sorted
+    sorted_norms,  # [n] f32: "pq" decoded-residual sq norms; "rabitq" fa
     queries_rot,   # [nq, dp] rotated queries, compute dtype, dp % 128 == 0
-    cb_t,          # [dp, S*book] transposed block-diagonal codebook
+    cb_t,          # [dp, S*book] transposed block-diagonal decode matrix
     centers_tile,  # [n_tiles, dp] rotated center rows per tile
     qidx,          # [n_tiles, M] int32 query per slot (-1 empty)
     starts_al,     # [n_tiles] int32 128-aligned window starts
@@ -355,26 +395,32 @@ def fused_pq_scan(
     ip: bool,
     cap: int = 2,
     book: int = 256,
+    bits: int = 8,
+    mode: str = "pq",
+    sorted_fr=None,  # [n] f32 rabitq f_rescale (effective), else None
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Run the fused PQ scan. Same output contract as ``fused_ivf_scan``
-    (order values are ||y||^2 - 2 q'.y for L2 / -q.y for IP; the caller
-    adds the per-(query, probe) cluster term before the cross-probe
-    top-k)."""
+    """Run the fused quantized-code scan. Same output contract as
+    ``fused_ivf_scan``: order values are the per-window ranking part
+    (pq: ||y||^2 - 2 q'.y / -q.y; rabitq: fa + fr*<q_rot, xu>); the
+    caller adds the per-(query, probe) cluster term before the
+    cross-probe top-k."""
     n_tiles, M = qidx.shape
     nq, dp = queries_rot.shape
     Sw = codes_t.shape[0]
     S = cb_t.shape[1] // book
     F = cap * 128
     Wn = -(-(W + 896) // 1024) * 1024
-    need = (codes_t.shape[1] // 1024 + 1) * 1024 + Wn
-    if sorted_norms.shape[0] < need:
-        sorted_norms = jnp.pad(sorted_norms,
-                               (0, need - sorted_norms.shape[0]))
-    norms2 = sorted_norms[: (sorted_norms.shape[0] // 128) * 128].reshape(-1, 128)
+    n_pad = codes_t.shape[1]
+    rabitq = mode == "rabitq"
     nq_pad = -(-nq // 8) * 8
     qp = jnp.pad(queries_rot, ((0, nq_pad - nq), (0, 0)))
 
+    factor_specs = [pl.BlockSpec(memory_space=pl.ANY)] * (2 if rabitq else 1)
+    factor_bufs = (
+        [pltpu.VMEM((2, Wn // 128, 128), jnp.float32)] * 2
+        if rabitq else [pltpu.VMEM((2, Wn // 128, 128), jnp.float32)]
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_tiles,),
@@ -386,22 +432,34 @@ def fused_pq_scan(
             pl.BlockSpec((dp, S * book), lambda t, al, lo_, sz: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        ] + factor_specs,
         out_specs=[
             pl.BlockSpec((1, M, F), lambda t, al, lo_, sz: (t, 0, 0)),
             pl.BlockSpec((1, M, F), lambda t, al, lo_, sz: (t, 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, Sw, W), jnp.uint32),
-            pltpu.VMEM((2, Wn // 128, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+        ] + factor_bufs + [
+            pltpu.SemaphoreType.DMA((2, 3 if rabitq else 2)),
         ],
     )
     kernel = functools.partial(
         _pq_scan_kernel, W=W, Wn=Wn, inner=inner, ip=ip, nq_pad=nq_pad,
-        cap=cap, S=S, book=book,
+        cap=cap, S=S, book=book, bits=bits, mode=mode,
     )
+    operands = [
+        jnp.append(jnp.asarray(starts_al, jnp.int32), 0),
+        jnp.asarray(lo, jnp.int32),
+        jnp.asarray(sizes, jnp.int32),
+        qidx[:, None, :],
+        qp,
+        centers_tile,
+        cb_t,
+        codes_t,
+        _norm_layout(sorted_norms, n_pad, Wn),
+    ]
+    if rabitq:
+        operands.append(_norm_layout(sorted_fr, n_pad, Wn))
     out_v, out_i = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -413,17 +471,7 @@ def fused_pq_scan(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(
-        jnp.append(jnp.asarray(starts_al, jnp.int32), 0),
-        jnp.asarray(lo, jnp.int32),
-        jnp.asarray(sizes, jnp.int32),
-        qidx[:, None, :],
-        qp,
-        centers_tile,
-        cb_t,
-        codes_t,
-        norms2,
-    )
+    )(*operands)
     return out_v, out_i
 
 

@@ -189,6 +189,7 @@ def _builders():
             window=s["window"],
             n_rows=s["n_rows"],
             bits_per_dim=s["bits_per_dim"],
+            sorted_codes_t=a.get(".sorted_codes_t"),
         )
 
     return {

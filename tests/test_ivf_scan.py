@@ -247,3 +247,48 @@ class TestFusedPQScan:
         gtd, gti = naive_knn(q, x, 10)
         rec = calc_recall(np.asarray(di), gti, np.asarray(dv), gtd)
         assert rec >= 0.95, rec
+
+
+class TestFusedRaBitQScan:
+    """Fused RaBitQ scan (interpret mode on CPU): in-VMEM bit-extract
+    decode + estimator epilogue vs the query-major scan (reference
+    analog: bitwise_emit_distances_kernel.cu.in:85-108)."""
+
+    def _run(self, metric="sqeuclidean", bits=3, n=4000, d=32, nq=64):
+        from cuvs_tpu.neighbors import ivf_rabitq
+
+        rng = np.random.default_rng(13)
+        x = make_blobs(rng, n, d)
+        q = make_blobs(rng, nq, d)
+        idx = ivf_rabitq.build(x, n_lists=16, bits_per_dim=bits, seed=0,
+                               metric=metric)
+        assert idx.sorted_codes_t is not None
+        df, i_f = ivf_rabitq.search(
+            idx, q, 10,
+            ivf_rabitq.SearchParams(n_probes=16, scan_algo="fused"))
+        dq, i_q = ivf_rabitq.search(
+            idx, q, 10,
+            ivf_rabitq.SearchParams(n_probes=16, scan_algo="query_major",
+                                    compute_dtype=np.float32))
+        agree = np.mean([
+            len(set(a.tolist()) & set(b.tolist())) / 10
+            for a, b in zip(np.asarray(i_f), np.asarray(i_q))
+        ])
+        return agree, df, dq
+
+    def test_l2_bits3_matches_query_major(self):
+        # bits=3 exercises word-straddling codes (32 % 3 != 0)
+        agree, df, dq = self._run(bits=3)
+        assert agree >= 0.9, agree
+        np.testing.assert_allclose(
+            np.sort(np.asarray(df), axis=1)[:, :5],
+            np.sort(np.asarray(dq), axis=1)[:, :5], rtol=0.05, atol=0.5,
+        )
+
+    def test_l2_bits1(self):
+        agree, _, _ = self._run(bits=1)
+        assert agree >= 0.85, agree
+
+    def test_inner_product(self):
+        agree, _, _ = self._run(metric="inner_product")
+        assert agree >= 0.9, agree
