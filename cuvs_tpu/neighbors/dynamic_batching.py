@@ -27,12 +27,65 @@ import numpy as np
 
 @dataclasses.dataclass(frozen=True)
 class BatchParams:
-    """Mirrors dynamic_batching::index_params (dynamic_batching.hpp:24-55)."""
+    """Mirrors dynamic_batching::index_params (dynamic_batching.hpp:24-55).
+
+    ``auto_tune`` adapts the dispatch timeout from measured service
+    latency (not in the reference, which exposes the raw knob only):
+    waiting up to ``auto_tune_fraction`` of the observed median search
+    time bounds the queueing-delay overhead at that fraction while
+    letting the batch fill toward max_batch_size. If
+    ``target_latency_ms`` is set the timeout additionally backs off
+    whenever the rolling p95 end-to-end latency exceeds the target.
+    """
 
     k: int = 10
     max_batch_size: int = 100
     dispatch_timeout_ms: float = 2.0
     conservative_dispatch: bool = False
+    auto_tune: bool = False
+    auto_tune_fraction: float = 0.5
+    target_latency_ms: Optional[float] = None
+
+
+class _TuneState:
+    """Rolling latency stats + the adapted dispatch timeout (shared by
+    both queue backends)."""
+
+    def __init__(self, params: BatchParams):
+        self.params = params
+        self.timeout_s = params.dispatch_timeout_ms / 1000.0
+        self._mu = threading.Lock()
+        self._service: List[float] = []  # per-dispatch search seconds
+        self._e2e: List[float] = []      # per-request end-to-end seconds
+
+    def record(self, service_s: float, e2e: List[float]) -> None:
+        with self._mu:
+            self._service = (self._service + [service_s])[-64:]
+            self._e2e = (self._e2e + e2e)[-512:]
+            if not self.params.auto_tune:
+                return
+            med = float(np.median(self._service))
+            t = self.params.auto_tune_fraction * med
+            tgt = self.params.target_latency_ms
+            if tgt is not None and len(self._e2e) >= 8:
+                p95 = float(np.percentile(self._e2e, 95))
+                if p95 > tgt / 1000.0:
+                    t = min(t, self.timeout_s * 0.5)
+            # clamp to sane bounds around the configured starting point
+            lo = min(1e-4, self.params.dispatch_timeout_ms / 1000.0)
+            self.timeout_s = float(np.clip(t, lo, 0.1))
+
+    def stats(self) -> dict:
+        with self._mu:
+            e = np.asarray(self._e2e) * 1000.0
+            s = np.asarray(self._service) * 1000.0
+            return {
+                "dispatch_timeout_ms": self.timeout_s * 1000.0,
+                "n_requests": int(e.size),
+                "latency_p50_ms": float(np.percentile(e, 50)) if e.size else None,
+                "latency_p95_ms": float(np.percentile(e, 95)) if e.size else None,
+                "service_p50_ms": float(np.percentile(s, 50)) if s.size else None,
+            }
 
 
 def _native_queue_lib():
@@ -82,6 +135,7 @@ class BatchedSearcher:
         self.search_fn = search_fn
         self.params = params
         self.dim = dim
+        self._tune = _TuneState(params)
         self._lock = threading.Condition()
         self._pending: List[Tuple[np.ndarray, Future]] = []
         self._rows = 0
@@ -112,7 +166,7 @@ class BatchedSearcher:
         with self._lock:
             if self._closed:
                 raise RuntimeError("searcher closed")
-            self._pending.append((queries, fut))
+            self._pending.append((queries, fut, time.monotonic()))
             self._rows += queries.shape[0]
             self._lock.notify()
         return fut
@@ -122,7 +176,6 @@ class BatchedSearcher:
         return self.submit(queries).result(timeout=timeout)
 
     def _run(self):
-        timeout_s = self.params.dispatch_timeout_ms / 1000.0
         B = self.params.max_batch_size
         while True:
             with self._lock:
@@ -131,7 +184,7 @@ class BatchedSearcher:
                     if self._closed and not self._pending:
                         return
                     continue
-                deadline = time.monotonic() + timeout_s
+                deadline = time.monotonic() + self._tune.timeout_s
                 while self._rows < B and time.monotonic() < deadline:
                     self._lock.wait(timeout=max(0.0, deadline - time.monotonic()))
                 batch = self._pending
@@ -141,8 +194,9 @@ class BatchedSearcher:
 
     def _dispatch(self, batch, B):
         try:
-            qs = np.concatenate([q for q, _ in batch], axis=0)
+            qs = np.concatenate([q for q, _, _ in batch], axis=0)
             k = self.params.k
+            t0 = time.monotonic()
             outs_d, outs_i = [], []
             for s in range(0, qs.shape[0], B):
                 block = qs[s : s + B]
@@ -154,17 +208,25 @@ class BatchedSearcher:
                 d, i = self.search_fn(padded)
                 outs_d.append(np.asarray(d)[: block.shape[0]])
                 outs_i.append(np.asarray(i)[: block.shape[0]])
+            service = time.monotonic() - t0
             all_d = np.concatenate(outs_d, axis=0)
             all_i = np.concatenate(outs_i, axis=0)
             off = 0
-            for q, fut in batch:
+            now = time.monotonic()
+            for q, fut, _ in batch:
                 m = q.shape[0]
                 fut.set_result((all_d[off : off + m], all_i[off : off + m]))
                 off += m
+            self._tune.record(service, [now - ts for _, _, ts in batch])
         except Exception as e:  # propagate to every waiter
-            for _, fut in batch:
+            for _, fut, _ in batch:
                 if not fut.done():
                     fut.set_exception(e)
+
+    def stats(self) -> dict:
+        """Rolling latency stats + the (auto-tuned) dispatch timeout."""
+        tune = self._native._tune if self._native is not None else self._tune
+        return tune.stats()
 
     def close(self):
         if self._native is not None:
@@ -191,6 +253,7 @@ class _NativeBackend:
         self.dim = dim
         self.params = params
         self.q = lib.cuvs_tpu_queue_create(max(params.max_batch_size * 4, 512), dim)
+        self._tune = _TuneState(params)
         self._mu = threading.Lock()
         self._next_ticket = 0
         self._inflight = {}  # ticket -> [n_rows, Future, rows_d, rows_i, filled]
@@ -208,7 +271,8 @@ class _NativeBackend:
             ticket = self._next_ticket
             self._next_ticket += 1
             self._inflight[ticket] = [
-                m, fut, np.empty((m, k), np.float32), np.empty((m, k), np.int32), 0,
+                m, fut, np.empty((m, k), np.float32), np.empty((m, k), np.int32),
+                0, time.monotonic(),
             ]
         rows = np.ascontiguousarray(queries, np.float32)
         pushed = self.lib.cuvs_tpu_queue_push(
@@ -229,8 +293,8 @@ class _NativeBackend:
         k = self.params.k
         out = np.empty((B, self.dim), np.float32)
         tickets = np.empty(B, np.int64)
-        timeout_us = int(self.params.dispatch_timeout_ms * 1000)
         while True:
+            timeout_us = int(self._tune.timeout_s * 1e6)
             n = self.lib.cuvs_tpu_queue_pop_batch(
                 self.q, out.ctypes.data_as(ct.POINTER(ct.c_float)),
                 tickets.ctypes.data_as(ct.POINTER(ct.c_int64)), B, timeout_us,
@@ -244,9 +308,11 @@ class _NativeBackend:
                 padded = out.copy()
                 padded[n:] = 0.0
             try:
+                t0 = time.monotonic()
                 d, i = self.search_fn(padded)
                 d = np.asarray(d)[:n]
                 i = np.asarray(i)[:n]
+                service = time.monotonic() - t0
                 err = None
             except Exception as e:  # noqa: BLE001
                 err = e
@@ -267,10 +333,13 @@ class _NativeBackend:
                     ent[3][pos] = i[r]
                     ent[4] += 1
                     if ent[4] == ent[0]:
-                        done.append((ent[1], ent[2], ent[3]))
+                        done.append((ent[1], ent[2], ent[3], ent[5]))
                         self._inflight.pop(t, None)
-            for fut, dd, ii in done:
+            now = time.monotonic()
+            for fut, dd, ii, _ in done:
                 fut.set_result((dd, ii))
+            if err is None and done:
+                self._tune.record(service, [now - ts for _, _, _, ts in done])
 
     def close(self):
         with self._mu:

@@ -1,4 +1,5 @@
 import threading
+import time
 
 import numpy as np
 import pytest
@@ -91,3 +92,28 @@ def test_dim_mismatch_rejected():
     except ValueError:
         pass
     bs.close()
+
+
+def test_auto_tune_adapts_timeout():
+    """auto_tune pulls the dispatch timeout toward a fraction of the
+    measured service time and exposes rolling latency percentiles."""
+    from cuvs_tpu.neighbors.dynamic_batching import BatchedSearcher, BatchParams
+
+    def slow_search(q):
+        time.sleep(0.02)  # 20 ms service time
+        return np.zeros((q.shape[0], 5), np.float32), np.zeros(
+            (q.shape[0], 5), np.int32)
+
+    p = BatchParams(k=5, max_batch_size=16, dispatch_timeout_ms=50.0,
+                    auto_tune=True, auto_tune_fraction=0.5)
+    s = BatchedSearcher(slow_search, dim=8, params=p, backend="python")
+    try:
+        for _ in range(6):
+            s.search(np.zeros((2, 8), np.float32))
+        st = s.stats()
+        assert st["n_requests"] >= 6
+        assert st["latency_p95_ms"] is not None
+        # 50 ms configured timeout must have adapted toward 0.5 * ~20 ms
+        assert st["dispatch_timeout_ms"] < 25.0, st
+    finally:
+        s.close()
