@@ -70,7 +70,8 @@ def _algo_table(ds):
     return {
         "brute_force": (
             lambda p: brute_force.build(ds.base, metric=ds.metric),
-            lambda ix, q, k, p: brute_force.search(ix, q, k, **{k_: v for k_, v in p.items() if v is not None}),
+            lambda ix, q, k, p: brute_force.search(
+                ix, q, k, **{k_: v for k_, v in p.items() if v is not None}),
         ),
         "ivf_flat": (
             lambda p: ivf_flat.build(ds.base, metric=ds.metric, **p),

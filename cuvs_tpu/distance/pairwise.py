@@ -115,7 +115,9 @@ def is_min_close(metric) -> bool:
     """Whether smaller distance = more similar (distance.hpp:71-86).
     Custom UDF metrics are treated as distances (min = close)."""
     m = normalize_metric(metric)
-    return True if callable(m) and not isinstance(m, DistanceType) else m != DistanceType.InnerProduct
+    if callable(m) and not isinstance(m, DistanceType):
+        return True
+    return m != DistanceType.InnerProduct
 
 
 def row_norms(x, squared: bool = True) -> jnp.ndarray:
@@ -340,7 +342,10 @@ def pairwise_distance(
     """
     metric = normalize_metric(metric)
     if callable(metric) and not isinstance(metric, DistanceType):
-        return jnp.asarray(metric(jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32)), jnp.float32)
+        return jnp.asarray(
+            metric(jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32)),
+            jnp.float32,
+        )
     if metric == DistanceType.Precomputed:
         raise ValueError("Precomputed is a tag, not a computable metric")
     x = jnp.asarray(x)

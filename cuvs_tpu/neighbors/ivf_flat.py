@@ -451,7 +451,8 @@ def extend(index: Index, new_vectors, new_ids=None) -> Index:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "n_probes", "metric", "window", "n_rows", "compute_dtype", "recall_target"),
+    static_argnames=("k", "n_probes", "metric", "window", "n_rows",
+                     "compute_dtype", "recall_target"),
 )
 def _search_impl(
     centers,

@@ -342,7 +342,8 @@ def build(dataset, params: Optional[IndexParams] = None, **kw) -> Index:
         sorted_res = jnp.concatenate(
             [res[order], jnp.zeros((window, rot_dim), jnp.float32)], axis=0
         ).reshape(-1, pq_dim, pq_len)
-        train_w = min(window, max(book, params.max_train_points_per_pq_code * book // max(pq_dim, 1)))
+        train_w = min(window, max(
+            book, params.max_train_points_per_pq_code * book // max(pq_dim, 1)))
         pq_centers = _train_codebooks_per_cluster(
             k_book, sorted_res, lists.offsets, lists.sizes, book, 25, train_w
         )

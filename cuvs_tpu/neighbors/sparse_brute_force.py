@@ -109,7 +109,8 @@ def _tile_terms(metric, qd, xd, p):
         return jnp.max(jnp.abs(diff), -1), None
     if m == DistanceType.Canberra:
         denom = jnp.abs(q3) + jnp.abs(x3)
-        return jnp.sum(jnp.where(denom > 0, jnp.abs(diff) / jnp.maximum(denom, 1e-30), 0.0), -1), None
+        ratio = jnp.where(denom > 0, jnp.abs(diff) / jnp.maximum(denom, 1e-30), 0.0)
+        return jnp.sum(ratio, -1), None
     if m == DistanceType.LpUnexpanded:
         return jnp.sum(jnp.power(jnp.abs(diff), p), -1), None
     if m in (DistanceType.L2Unexpanded, DistanceType.L2SqrtUnexpanded):
