@@ -33,14 +33,50 @@ from cuvs_tpu.distance.pairwise import DistanceType, normalize_metric
 class HnswParams:
     """Mirrors hnsw::index_params (hnsw.hpp:43-61)."""
 
-    hierarchy: str = "none"  # "none" = base-layer-only | "cpu" = real levels
+    # "none" = base-layer-only | "cpu" = host-built levels |
+    # "tpu" = device-built levels (reference default GPU, hnsw.hpp:51)
+    hierarchy: str = "none"
     ef_construction: int = 200
     seed: int = 0
 
 
-def _build_hierarchy(data: np.ndarray, m: int, mult: float, seed: int):
+def _level_knn_host(sub: np.ndarray, kk: int) -> np.ndarray:
+    """Row-blocked exact kNN on the host (hierarchy="cpu")."""
+    nl = sub.shape[0]
+    sn = (sub * sub).sum(1)
+    block = max(1, (64 << 20) // max(nl * 4, 1))  # ~64 MB per block
+    links_local = np.empty((nl, kk), np.int64)
+    for r0 in range(0, nl, block):
+        r1 = min(r0 + block, nl)
+        d2 = sn[r0:r1, None] + sn[None, :] - 2.0 * (sub[r0:r1] @ sub.T)
+        d2[np.arange(r0, r1) - r0, np.arange(r0, r1)] = np.inf
+        part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+        ord_ = np.argsort(np.take_along_axis(d2, part, axis=1), axis=1)
+        links_local[r0:r1] = np.take_along_axis(part, ord_, axis=1)
+    return links_local
+
+
+def _level_knn_device(sub: np.ndarray, kk: int, metric) -> np.ndarray:
+    """Exact per-level kNN on the accelerator (hierarchy="tpu" — the
+    analog of the reference's default HnswHierarchy::GPU,
+    hnsw.hpp:46,51: upper-layer links computed on-device, serialized on
+    the host). One MXU scan per level; k+1 then drop self."""
+    from cuvs_tpu.neighbors import brute_force
+
+    ix = brute_force.build(sub, metric=metric)
+    _, ids = brute_force.search(ix, sub, kk + 1)
+    ids = np.asarray(ids, np.int64)
+    self_col = ids == np.arange(ids.shape[0])[:, None]
+    # drop the self hit wherever it appears; keep first kk of the rest
+    keep = np.argsort(self_col, axis=1, kind="stable")[:, :kk]
+    return np.take_along_axis(ids, keep, axis=1)
+
+
+def _build_hierarchy(data: np.ndarray, m: int, mult: float, seed: int,
+                     device: bool = False, metric="sqeuclidean"):
     """Assign HNSW levels and build upper-layer graphs (hnsw.hpp:43-61
-    hierarchy CPU mode; level draw matches hnswlib's floor(-ln(U)*mult)).
+    hierarchy CPU/GPU modes; level draw matches hnswlib's
+    floor(-ln(U)*mult)).
 
     Returns (levels [n] int32, {level: (node_ids, links [len, m] int32
     local-to-global)}). Upper layers are tiny (n/M^l nodes), so exact
@@ -59,21 +95,11 @@ def _build_hierarchy(data: np.ndarray, m: int, mult: float, seed: int):
             layers[l] = (nodes, np.full((1, 0), 0, np.int32))
             continue
         sub = data[nodes]
-        nl = len(nodes)
-        kk = min(m, nl - 1)
-        # row-blocked exact kNN: a dense [nl, nl] matrix at level 1 of a
-        # 1M-node graph is ~31k^2 f32 ≈ 3.9 GB — blocks cap the transient
-        # at ~block*nl*4 bytes regardless of level size
-        sn = (sub * sub).sum(1)
-        block = max(1, (64 << 20) // max(nl * 4, 1))  # ~64 MB per block
-        links_local = np.empty((nl, kk), np.int64)
-        for r0 in range(0, nl, block):
-            r1 = min(r0 + block, nl)
-            d2 = sn[r0:r1, None] + sn[None, :] - 2.0 * (sub[r0:r1] @ sub.T)
-            d2[np.arange(r0, r1) - r0, np.arange(r0, r1)] = np.inf
-            part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
-            ord_ = np.argsort(np.take_along_axis(d2, part, axis=1), axis=1)
-            links_local[r0:r1] = np.take_along_axis(part, ord_, axis=1)
+        kk = min(m, len(nodes) - 1)
+        if device:
+            links_local = _level_knn_device(sub, kk, metric)
+        else:
+            links_local = _level_knn_host(sub, kk)
         layers[l] = (nodes, nodes[links_local].astype(np.int32))
     return levels, layers
 
@@ -82,9 +108,11 @@ def from_cagra(cagra_index, path: str, params: HnswParams = HnswParams()) -> Non
     """Serialize a CAGRA index as an hnswlib file (hnsw::from_cagra).
 
     hierarchy="none" writes a base-layer-only file (readable by cuVS's
-    patched hnswlib); hierarchy="cpu" additionally assigns hnswlib-style
-    levels and writes exact upper-layer link lists, producing a file
-    vanilla hnswlib loads and searches with its normal descent.
+    patched hnswlib); hierarchy="cpu"/"tpu" additionally assign
+    hnswlib-style levels and write exact upper-layer link lists,
+    producing a file vanilla hnswlib loads and searches with its normal
+    descent. "tpu" computes the per-level kNN on the accelerator (the
+    reference's default HnswHierarchy::GPU, hnsw.hpp:46,51).
     """
     graph = np.asarray(cagra_index.graph, np.uint32)
     data = np.asarray(cagra_index.dataset, np.float32)
@@ -100,8 +128,12 @@ def from_cagra(cagra_index, path: str, params: HnswParams = HnswParams()) -> Non
     mult = 1.0 / np.log(max(m, 2))
     size_links_upper = m * 4 + 4  # size_links_per_element_ in hnswlib
 
-    if params.hierarchy == "cpu":
-        levels, layers = _build_hierarchy(data, m, mult, params.seed)
+    if params.hierarchy in ("cpu", "tpu", "gpu"):
+        levels, layers = _build_hierarchy(
+            data, m, mult, params.seed,
+            device=params.hierarchy != "cpu",
+            metric=getattr(cagra_index, "metric", "sqeuclidean"),
+        )
         maxlevel = int(levels.max()) if n else 0
         enterpoint = int(np.argmax(levels))
     elif params.hierarchy == "none":

@@ -123,6 +123,33 @@ def test_hnsw_cpu_hierarchy(tmp_path):
     np.testing.assert_array_equal(np.asarray(loaded.graph), np.asarray(idx.graph))
 
 
+def test_hnsw_tpu_hierarchy(tmp_path):
+    """hierarchy="tpu" (reference default HnswHierarchy::GPU,
+    hnsw.hpp:46,51): per-level kNN computed on-device; must produce the
+    same levels as the host path (same seed) and near-identical exact
+    upper-layer links (tie order may differ)."""
+    from cuvs_tpu.neighbors import cagra, hnsw
+
+    x = _cloud(1500, 16)
+    idx = cagra.build(x, intermediate_graph_degree=32, graph_degree=16, seed=0)
+    pc = str(tmp_path / "c.hnsw")
+    pt = str(tmp_path / "t.hnsw")
+    hnsw.from_cagra(idx, pc, hnsw.HnswParams(hierarchy="cpu", seed=0))
+    hnsw.from_cagra(idx, pt, hnsw.HnswParams(hierarchy="tpu", seed=0))
+    lc, mlc, epc, linkc = hnsw.read_hierarchy(pc)
+    lt, mlt, ept, linkt = hnsw.read_hierarchy(pt)
+    np.testing.assert_array_equal(lc, lt)
+    assert (mlc, epc) == (mlt, ept)
+    assert linkc.keys() == linkt.keys()
+    overlap = [
+        len(set(linkc[k].tolist()) & set(linkt[k].tolist())) / len(linkc[k])
+        for k in linkc
+    ]
+    assert np.mean(overlap) >= 0.95, np.mean(overlap)
+    for (node, l), ln in linkt.items():
+        assert lt[ln].min() >= l  # links stay within the layer
+
+
 def test_hnsw_header_fields(tmp_path):
     import struct
 
