@@ -136,10 +136,11 @@ def build(
         md = jnp.concatenate([best_d[padded], d], axis=1)
         mi = jnp.concatenate([best_i[padded], g], axis=1)
         # dedup (same neighbor found via two overlapping clusters / pad
-        # duplicates): sort by id, inf out repeats, re-sort by distance
-        o1 = jnp.argsort(mi, axis=1)
-        mi_s = jnp.take_along_axis(mi, o1, axis=1)
-        md_s = jnp.take_along_axis(md, o1, axis=1)
+        # duplicates): two-key sort by (id, distance) keeps each id's
+        # BEST entry first (a stable id-only sort would keep whichever
+        # column came first — e.g. an inf placeholder), inf out repeats,
+        # re-sort by distance
+        mi_s, md_s = jax.lax.sort((mi, md), dimension=1, num_keys=2)
         dup = jnp.concatenate(
             [jnp.zeros((mi.shape[0], 1), bool), mi_s[:, 1:] == mi_s[:, :-1]], axis=1
         )
@@ -152,7 +153,7 @@ def build(
         return best_d, best_i
 
     best_d = jnp.full((n, k), jnp.inf, jnp.float32)
-    best_i = jnp.zeros((n, k), jnp.int32)
+    best_i = jnp.full((n, k), -1, jnp.int32)  # -1 = empty slot, never a row id
     compute_dtype = kw.pop("compute_dtype", jnp.float32)
     recall_target = kw.pop("recall_target", None)
     for ci in range(c):
@@ -175,4 +176,11 @@ def build(
             best_d, best_i, padded, sub_d, jnp.asarray(sub_l, jnp.int32),
             jnp.int32(n_real), k,
         )
+    # a row whose list came up short keeps -1/inf slots (e.g. its clusters
+    # were skipped for having <= k members); pad ids with the row's own
+    # first neighbor — or the next row as a last resort — so consumers
+    # always see valid non-self ids (distances stay +inf)
+    rows = jnp.arange(n, dtype=jnp.int32)
+    first = jnp.where(best_i[:, 0] >= 0, best_i[:, 0], (rows + 1) % n)
+    best_i = jnp.where(best_i >= 0, best_i, first[:, None])
     return best_i, best_d

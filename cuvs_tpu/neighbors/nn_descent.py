@@ -25,6 +25,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from cuvs_tpu.distance import pairwise
@@ -127,16 +128,42 @@ def _expand_round(key, dataset, norms, graph, graph_d, adj, K, S, chunk, compute
 
 def build(
     dataset, params: Optional[IndexParams] = None, chunk: int = 4096,
-    compute_dtype=jnp.float32, **kw,
+    compute_dtype=jnp.float32, block_local="auto", **kw,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Build the k-NN graph. Returns (graph [n, graph_degree], distances).
 
     The index is host/dense (nn_descent.hpp: host-memory dense graph).
+
+    ``block_local`` ("auto" | True | False): at 4M+ rows the expansion
+    rounds' scattered candidate gathers dominate (row-rate bound —
+    docs/benchmarks.md hardware finding #1), so "auto" reroutes the build
+    through the block-local join: overlapping balanced partitions with
+    padded exact MXU self-searches (all_neighbors batched — the TPU
+    reformulation of the reference's segmented GNND local join,
+    nn_descent.cuh:599/871). Same output contract, strictly contiguous
+    memory traffic. False forces the global expansion rounds at any size.
     """
     if params is None:
         params = IndexParams(**kw)
     dataset = jnp.asarray(dataset)
     n, d = dataset.shape
+    if block_local == "auto":
+        block_local = n >= 4_000_000
+    if block_local and n > 4 * max(params.graph_degree, 1):
+        from cuvs_tpu.neighbors import all_neighbors
+
+        n_clusters = max(4, int(np.ceil(n / 500_000)))
+        g, gd = all_neighbors.build(
+            dataset,
+            params.graph_degree,
+            all_neighbors.AllNeighborsParams(
+                n_clusters=n_clusters,
+                overlap_factor=2,
+                metric=params.metric,
+                seed=params.seed,
+            ),
+        )
+        return jnp.asarray(g, jnp.int32), jnp.asarray(gd)
     K = min(params.intermediate_graph_degree, n - 1)
     # coverage of the two-hop neighborhood per round governs convergence
     # speed; ~K^2 samples reaches >0.99 graph recall in <8 rounds

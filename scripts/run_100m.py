@@ -36,6 +36,9 @@ N_LISTS = int(os.environ.get("N_LISTS", 16384))
 CAND = int(os.environ.get("CAND", 40))
 
 
+CACHE = os.environ.get("DATASET_CACHE", "/root/x100m_f32.npy")
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -44,28 +47,63 @@ def main():
     from cuvs_tpu.ops import bf_topk_pallas
     from cuvs_tpu.selection.select_k import merge_parts
 
+    # fail in SECONDS, not after hours of datagen, if the env lost the
+    # device plugin (PYTHONPATH must keep /root/.axon_site). GEN_ONLY
+    # stages the dataset cache without ever touching the device.
+    gen_only = os.environ.get("GEN_ONLY") == "1"
+    if gen_only:
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        backend = jax.default_backend()
+        print(f"# backend: {backend} {jax.devices()}",
+              file=sys.stderr, flush=True)
+        if os.environ.get("REQUIRE_TPU", "1") == "1" and backend != "tpu":
+            raise SystemExit(f"refusing to run on backend {backend!r}")
+
     rng = np.random.Generator(np.random.SFC64(0))
     r = D // 4
     proj = (rng.standard_normal((r, D)).astype(np.float32) / np.sqrt(r))
 
-    # host datagen rides torch: numpy's SFC64 gaussians run ~2M/s and its
-    # reference-BLAS sgemm ~115 MFLOP/s on this single weak core (2+
-    # hours for 100M x 96), while torch generates 157M gaussians/s and
-    # matmuls at ~6 GFLOP/s — the whole 38 GB in ~3 minutes
+    # host datagen rides torch (numpy's SFC64 gaussians run ~2M/s on this
+    # single weak core). Measured on the idle core: ~1.1M gaussians/s via
+    # numpy, torch ~10x that — still ~35 min for the 2.4B base gaussians,
+    # so (a) the 38 GB array persists to a disk memmap and any rerun skips
+    # datagen entirely (the file also feeds refine_host from page cache),
+    # (b) the 9.6B-gaussian noise term reuses a 4M-row pool at random
+    # offsets (base rows stay unique, so no duplicate dataset rows).
     import torch
 
     torch.manual_seed(0)
     proj_t = torch.from_numpy(np.ascontiguousarray(proj, np.float32))
-    t0 = time.time()
-    x = np.empty((N, D), np.float32)
-    for s in range(0, N, SLICE):
-        e = min(s + SLICE, N)
-        xt = torch.from_numpy(x[s:e])
-        torch.matmul(torch.randn(e - s, r), proj_t, out=xt)
-        xt += 0.05 * torch.randn(e - s, D)
+    # queries FIRST so they are identical between fresh and cached runs
     q = (torch.randn(NQ, r) @ proj_t + 0.05 * torch.randn(NQ, D)).numpy()
-    print(f"# host data gen: {time.time()-t0:.0f}s "
+    t0 = time.time()
+    if os.path.exists(CACHE):
+        x = np.lib.format.open_memmap(CACHE, mode="r")
+        assert x.shape == (N, D), x.shape
+        print(f"# dataset from cache {CACHE}", file=sys.stderr, flush=True)
+    else:
+        x = np.lib.format.open_memmap(
+            CACHE + ".tmp", mode="w+", dtype=np.float32, shape=(N, D))
+        pool_rows = 4_000_000
+        noise = (0.05 * torch.randn(pool_rows + SLICE, D)).numpy()
+        off_rng = np.random.Generator(np.random.SFC64(7))
+        for s in range(0, N, SLICE):
+            e = min(s + SLICE, N)
+            xt = torch.from_numpy(x[s:e])
+            torch.matmul(torch.randn(e - s, r), proj_t, out=xt)
+            o = int(off_rng.integers(0, pool_rows))
+            x[s:e] += noise[o : o + (e - s)]
+            if s % (10 * SLICE) == 0:
+                print(f"# datagen {e/1e6:.0f}M {time.time()-t0:.0f}s",
+                      file=sys.stderr, flush=True)
+        x.flush()
+        os.rename(CACHE + ".tmp", CACHE)
+        x = np.lib.format.open_memmap(CACHE, mode="r")
+    print(f"# host data ready: {time.time()-t0:.0f}s "
           f"({x.nbytes/2**30:.1f} GB)", file=sys.stderr, flush=True)
+    if gen_only:  # cache staged; the chip was never touched
+        return
 
     # ---- streaming build: only int8 rows + one slice ever on device ----
     t0 = time.time()

@@ -31,6 +31,25 @@ def test_nn_descent_graph_quality():
     np.testing.assert_allclose(np.asarray(dists)[:5], sel, rtol=1e-2, atol=1e-2)
 
 
+def test_nn_descent_block_local():
+    """block_local=True reroutes through overlapping partition exact
+    builds (the 4M+ auto path) — same output contract, recall holds."""
+    from cuvs_tpu.neighbors import nn_descent
+
+    x = _cloud(3000, 24)
+    graph, dists = nn_descent.build(
+        x, graph_degree=16, intermediate_graph_degree=32, seed=0,
+        block_local=True,
+    )
+    graph = np.asarray(graph)
+    assert graph.shape == (3000, 16)
+    gtd, gti = naive_knn(x, x, 17)
+    gt = np.array([[j for j in row if j != i][:16] for i, row in enumerate(gti)])
+    rec = np.mean([len(set(a) & set(b)) / 16 for a, b in zip(graph, gt)])
+    assert rec >= 0.85, rec
+    assert not np.any(graph == np.arange(3000)[:, None])  # no self-loops
+
+
 def test_nn_descent_feeds_cagra():
     from cuvs_tpu.neighbors import cagra, graph_core, nn_descent
 
