@@ -313,10 +313,12 @@ cuvsTpuError_t cuvsTpuIvfFlatBuild(const cuvsTpuIvfFlatIndexParams_t* p,
   char js[256];
   std::snprintf(js, sizeof(js),
                 "{\"n_lists\": %lld, \"kmeans_n_iters\": %lld, "
-                "\"kmeans_trainset_fraction\": %g, \"adaptive_centers\": %s}",
+                "\"kmeans_trainset_fraction\": %g, \"adaptive_centers\": %s, "
+                "\"add_data_on_build\": %s}",
                 (long long)p->n_lists, (long long)p->kmeans_n_iters,
                 p->kmeans_trainset_fraction,
-                p->adaptive_centers ? "true" : "false");
+                p->adaptive_centers ? "true" : "false",
+                p->add_data_on_build ? "true" : "false");
   return cuvsTpuIndexBuildDL("ivf_flat", metric, js, dataset, out_index);
 }
 

@@ -71,9 +71,14 @@ class _TuneState:
                 p95 = float(np.percentile(self._e2e, 95))
                 if p95 > tgt / 1000.0:
                     t = min(t, self.timeout_s * 0.5)
-            # clamp to sane bounds around the configured starting point
-            lo = min(1e-4, self.params.dispatch_timeout_ms / 1000.0)
-            self.timeout_s = float(np.clip(t, lo, 0.1))
+            # clamp to sane bounds around the configured starting point:
+            # never below 0.1 ms, never above 50x the configured timeout
+            # (so a user-set long fill window is honored, not snapped to
+            # a hardcoded cap)
+            cfg = self.params.dispatch_timeout_ms / 1000.0
+            lo = min(1e-4, cfg)
+            hi = max(0.1, cfg * 50.0)
+            self.timeout_s = float(np.clip(t, lo, hi))
 
     def stats(self) -> dict:
         with self._mu:

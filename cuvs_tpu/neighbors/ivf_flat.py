@@ -122,7 +122,7 @@ def _gather_rows(ds, order, out_dtype, chunk=1 << 20):
     ``ds[order].astype(dtype)`` never materializes (at 10M x 96 that
     transient is ~5 GB of lane-padded HBM and OOMs next to the source)."""
     n = order.shape[0]
-    chunk = min(chunk, n)
+    chunk = max(1, min(chunk, n))
     pad = (-n) % chunk
     op = jnp.pad(order, (0, pad))
     out = lax.map(lambda o: ds[o].astype(out_dtype), op.reshape(-1, chunk))
@@ -132,6 +132,27 @@ def _gather_rows(ds, order, out_dtype, chunk=1 << 20):
 def _pack(dataset, ids, labels, centers, metric, n_lists, adaptive,
           storage_dtype=None, q_scale=None, norms=None):
     """Assemble the index from labeled rows (shared by build/extend)."""
+    if int(dataset.shape[0]) == 0:
+        # empty index (add_data_on_build=False): quantizer only; extend()
+        # fills the lists (and picks the int8 scale from the first rows)
+        window = ivf.round_window(0)
+        _, lists = ivf.sort_by_label(
+            jnp.zeros((0,), jnp.int32), n_lists, pad=window)
+        dt = (jnp.dtype(storage_dtype) if storage_dtype is not None
+              else dataset.dtype)
+        dp = -(-int(dataset.shape[1]) // 128) * 128
+        return Index(
+            centers=centers,
+            center_norms=_center_norms(centers, metric),
+            sorted_data=jnp.zeros((window, dp), dt),
+            sorted_norms=jnp.zeros((_norm_pad_len(0, window),), jnp.float32),
+            lists=lists,
+            q_scale=None,
+            metric=metric,
+            window=window,
+            n_rows=0,
+            adaptive_centers=adaptive,
+        )
     sizes_max = int(jnp.max(jnp.zeros((n_lists,), jnp.int32).at[labels].add(1)))
     window = ivf.round_window(sizes_max)
     order, lists = ivf.sort_by_label(labels, n_lists, pad=window)
@@ -216,6 +237,10 @@ def build(dataset, params: Optional[IndexParams] = None, **kw) -> Index:
     else:
         labels = kmeans_balanced.predict(trainset, centers)
     ids = jnp.arange(n, dtype=jnp.int32)
+    if not params.add_data_on_build:
+        # reference semantics (ivf_flat.hpp add_data_on_build): train the
+        # coarse quantizer only; rows arrive later via extend()
+        dataset, ids, labels = dataset[:0], ids[:0], labels[:0]
     return _pack(dataset, ids, labels, centers, params.metric, n_lists,
                  params.adaptive_centers, params.storage_dtype)
 
@@ -277,7 +302,10 @@ def build_streaming(
     first = slice_provider(0)
     device_mode = isinstance(first, jax.Array)
     d = int(first.shape[1])
-    dp = (-(-d // 128) * 128) if (align_dim and device_mode) else d
+    # lane-align in BOTH modes: the fused Pallas scan's window DMA (and
+    # donated device scatters) require an int8 row width that is a
+    # multiple of 128; host mode pads on the host before upload.
+    dp = (-(-d // 128) * 128) if align_dim else d
 
     # ---- pass 0: subsample for training ----
     if device_mode:
@@ -375,14 +403,15 @@ def build_streaming(
         )
         sorted_data, sorted_norms = data, norms_a
     else:
-        data_h = np.zeros((n + window, d), np.int8)
+        data_h = np.zeros((n + window, dp), np.int8)
         norms_h2 = np.zeros((_norm_pad_len(n, window),), np.float32)
         labels_ah = np.full((n + window,), -1, np.int32)
         ids_ah = np.zeros((n + window,), np.int32)
         for i in range(n_slices):
             sl = np.asarray(slice_provider(i), np.float32)
             lab, pos, rows = slice_positions(i, row0, cursor)
-            data_h[pos] = np.clip(np.round(sl / q_scale), -127, 127).astype(np.int8)
+            data_h[pos, :d] = np.clip(
+                np.round(sl / q_scale), -127, 127).astype(np.int8)
             norms_h2[pos] = norms_h[i]
             labels_ah[pos] = lab
             ids_ah[pos] = np.arange(row0, row0 + rows, dtype=np.int32)
@@ -413,6 +442,14 @@ def build_streaming(
 def extend(index: Index, new_vectors, new_ids=None) -> Index:
     """Append vectors to their nearest lists (ivf_flat extend semantics)."""
     new_norms = pairwise.row_norms(jnp.asarray(new_vectors, jnp.float32))
+    if (index.q_scale is None and index.n_rows == 0
+            and index.sorted_data.dtype == jnp.int8
+            and jnp.asarray(new_vectors).dtype != jnp.int8):
+        # first extend of an empty int8 index: pick the scale from the
+        # incoming rows (build had no data to calibrate against)
+        index = index.replace(q_scale=jnp.maximum(
+            jnp.max(jnp.abs(jnp.asarray(new_vectors, jnp.float32))), 1e-30
+        ) / 127.0)
     if index.q_scale is not None:
         nf = jnp.asarray(new_vectors, jnp.float32)
         new_vectors = jnp.clip(

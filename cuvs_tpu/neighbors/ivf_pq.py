@@ -356,12 +356,19 @@ def build(dataset, params: Optional[IndexParams] = None, **kw) -> Index:
         pq_centers = _train_codebooks(k_book, res_train, book, 25)
         codes = _encode(res, pq_centers)
 
+    if not params.add_data_on_build:
+        # reference semantics (ivf_pq.hpp add_data_on_build): train the
+        # coarse quantizer + codebooks only; rows arrive via extend()
+        codes, n = codes[:0], 0
+        window = ivf.round_window(0)
+        order, lists = ivf.sort_by_label(
+            jnp.zeros((0,), jnp.int32), n_lists, pad=window)
     packed = bitpack.pack(codes[order], params.pq_bits)
     sorted_codes = jnp.concatenate(
         [packed, jnp.zeros((window, packed.shape[1]), jnp.uint32)], axis=0
     )
     serving_codes = serving_norms = None
-    if params.codebook_gen == "per_subspace":
+    if params.codebook_gen == "per_subspace" and n > 0:
         from cuvs_tpu.neighbors import ivf_scan
 
         cs = codes[order]
@@ -676,7 +683,7 @@ def search(
         # PQ candidates feed refine() anyway, and filtered rows carry
         # inf so the masked-max rounds skip them like the exact sort did
         eff = max(1, index.n_rows // index.n_lists // 128)
-        bin_cap = int(min(k, 32, max(2, -(-2 * k) // eff)))
+        bin_cap = int(min(k, 32, max(2, -(-2 * k // eff))))
         return ivf_scan.cluster_major_scan_pq(
             index.sorted_codes,
             index.centers,

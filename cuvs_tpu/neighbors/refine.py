@@ -161,7 +161,20 @@ def refine_host(
         if reader:
             flat = safe.reshape(-1)
             uniq, inv = np.unique(flat, return_inverse=True)
-            rows = np.stack([host_dataset.read(int(u), 1)[0] for u in uniq])
+            # coalesce scattered ids into gap-merged spans: the reader is
+            # mmap/page-backed, so over-reading up to `gap` rows to merge
+            # two reads is far cheaper than an extra per-row call (which
+            # would otherwise cost ~nq*c ctypes round-trips per batch)
+            gap = 256
+            brk = np.flatnonzero(np.diff(uniq) > gap)
+            starts = np.concatenate([[0], brk + 1])
+            ends = np.concatenate([brk, [len(uniq) - 1]])
+            parts = []
+            for s, e in zip(starts, ends):
+                lo_id = int(uniq[s])
+                block = host_dataset.read(lo_id, int(uniq[e]) - lo_id + 1)
+                parts.append(block[uniq[s : e + 1] - lo_id])
+            rows = np.concatenate(parts, axis=0)
             vecs = rows[inv].reshape(hi - lo, c, -1)
         else:
             vecs = np.asarray(host_dataset)[safe]

@@ -265,8 +265,8 @@ def search(
     k: int,
     metric: DistanceType = DistanceType.L2Expanded,
     compute_dtype=jnp.bfloat16,
-    tile_n: int = 2048,
-    block_q: int = 1024,
+    tile_n: Optional[int] = None,
+    block_q: Optional[int] = None,
     exact: bool = True,
     q_scale=None,
     interpret: bool = False,
@@ -285,14 +285,21 @@ def search(
         raise ValueError(f"fused kernel supports L2/IP, got {metric}")
     ip = metric == DistanceType.InnerProduct
     qf = jnp.asarray(queries, jnp.float32)
-    if not exact:
-        # approx-path tile geometry (env knobs for tuning sweeps)
+    if tile_n is None or block_q is None:
+        # default tile geometry (env knobs for tuning sweeps); explicit
+        # caller-passed values always win
         import os as _os
 
-        # measured best at 1M x 128 bf16 (v5e): 512/32768 = 359k QPS vs
-        # 324-348k for smaller blocks and 233k for the unfused XLA path
-        tile_n = int(_os.environ.get("CUVS_TPU_BF_TILE", 32768))
-        block_q = int(_os.environ.get("CUVS_TPU_BF_BLOCKQ", 512))
+        if exact:
+            tile_n = 2048 if tile_n is None else tile_n
+            block_q = 1024 if block_q is None else block_q
+        else:
+            # measured best at 1M x 128 bf16 (v5e): 512/32768 = 359k QPS
+            # vs 324-348k for smaller blocks and 233k unfused XLA path
+            if tile_n is None:
+                tile_n = int(_os.environ.get("CUVS_TPU_BF_TILE", 32768))
+            if block_q is None:
+                block_q = int(_os.environ.get("CUVS_TPU_BF_BLOCKQ", 512))
     block_q = int(min(block_q, max(8, qf.shape[0])))
     tile_n = int(min(tile_n, max(128, dataset.shape[0])))
     if q_scale is not None:

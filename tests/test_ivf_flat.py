@@ -117,3 +117,45 @@ def test_int8_storage():
     assert idx2.sorted_data.dtype == jnp.int8
     _, i = ivf_flat.search(idx2, q, 10, n_probes=16)
     assert calc_recall(np.asarray(i), gti) >= 0.8
+
+
+def test_train_only_build_then_extend():
+    """add_data_on_build=False (ivf_flat.hpp:28-66): train the coarse
+    quantizer only, populate via extend()."""
+    import jax.numpy as jnp
+
+    x, q = _data(8000, 32, 50)
+    gtd, gti = naive_knn(q, x, 10)
+    for sd in (None, jnp.int8):
+        idx = ivf_flat.build(x, n_lists=32, add_data_on_build=False,
+                             storage_dtype=sd, seed=0)
+        assert idx.n_rows == 0 and idx.size == 0
+        idx = ivf_flat.extend(idx, x)
+        assert idx.n_rows == 8000
+        _, i = ivf_flat.search(idx, q, 10, n_probes=16)
+        floor = 0.85 if sd is None else 0.75
+        assert calc_recall(np.asarray(i), gti) >= floor, sd
+
+
+def test_streaming_build_host_mode_lane_aligned():
+    """HOST-mode build_streaming must lane-align storage (width % 128 == 0)
+    exactly like device mode: the fused scan's window DMA requires it."""
+    rng = np.random.default_rng(3)
+    n, d = 12000, 96  # deep-96-like non-aligned width
+    x = make_blobs(rng, n, d, n_centers=64)
+    q = make_blobs(rng, 100, d, n_centers=64)
+    n_slices = 4
+    step = n // n_slices
+
+    def provider(i):
+        return x[i * step : (i + 1) * step]  # numpy => host mode
+
+    idx = ivf_flat.build_streaming(
+        provider, n_slices=n_slices, n_lists=64,
+        trainset_rows=4000, seed=0,
+    )
+    assert idx.sorted_data.shape[1] % 128 == 0, idx.sorted_data.shape
+    assert idx.sorted_data.dtype == np.int8
+    gtd, gti = naive_knn(q, x, 10)
+    _, i = ivf_flat.search(idx, q, 10, n_probes=24)
+    assert calc_recall(np.asarray(i), gti) >= 0.8

@@ -160,3 +160,19 @@ def test_refine_rejects_bad_k():
     x, q = _data(100, 8, 2)
     with pytest.raises(ValueError):
         refine.refine(x, q, np.zeros((2, 5), np.int32), 10)
+
+
+def test_train_only_build_then_extend():
+    """add_data_on_build=False (ivf_pq.hpp:47-132): codebooks trained,
+    lists empty until extend()."""
+    rng = np.random.default_rng(11)
+    x = make_blobs(rng, 6000, 32, n_centers=64)
+    q = make_blobs(rng, 50, 32, n_centers=64)
+    gtd, gti = naive_knn(q, x, 10)
+    idx = ivf_pq.build(x, n_lists=32, pq_dim=16, add_data_on_build=False,
+                       seed=0)
+    assert idx.n_rows == 0
+    idx = ivf_pq.extend(idx, x)
+    assert idx.n_rows == 6000
+    _, i = ivf_pq.search(idx, q, 10, n_probes=32)
+    assert calc_recall(np.asarray(i), gti) >= 0.7
