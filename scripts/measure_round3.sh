@@ -32,6 +32,9 @@ step latency 2400 python scripts/run_latency.py
 # 3. driver headline (fused BF + int8 + IVF + CAGRA contenders)
 step bench 2400 python bench.py
 
-# 4. DEEP-100M: streaming build + fused int8 scan + host refine
+# 4. DEEP-10M-class IVF-PQ through the fused PQ scan (+ device refine)
+step pq10m 3600 python scripts/run_pq10m.py
+
+# 5. DEEP-100M: streaming build + fused int8 scan + host refine
 #    (dataset cache at /root/x100m_f32.npy skips datagen)
 step run100m 7200 python scripts/run_100m.py
