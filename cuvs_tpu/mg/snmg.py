@@ -275,6 +275,135 @@ def _build_ivf_flat_sharded(dataset, n_rows, mesh, axis, index_params, kw) -> MG
     )
 
 
+def build_streaming(
+    slice_provider,
+    n_slices: int,
+    mesh: Optional[Mesh] = None,
+    n_lists: int = 16384,
+    metric=None,
+    trainset_rows: int = 2_000_000,
+    kmeans_n_iters: int = 10,
+    seed: int = 0,
+) -> MGIndex:
+    """Sharded streaming IVF-Flat build for datasets exceeding
+    n_chips x HBM (the tier-4 scale story in docs/scale.md).
+
+    Contiguous groups of host slices are assigned per shard; each shard
+    index is built with ``ivf_flat.build_streaming`` (int8, lane-aligned
+    rows) and committed to its owning device as soon as it finishes, so
+    the build device only ever holds ONE shard's index (~total/n_chips)
+    at a time — the full dataset is never gathered on one device or
+    materialized on the host beyond one slice.
+    Reference analog: per-rank independent builds, snmg.cuh:127-166,
+    composed with the streaming/out-of-core pipelines (each shard trains
+    its own coarse quantizer over its rows, like the per-rank builds).
+
+    ``slice_provider(i) -> [rows, d]`` host numpy array, i in
+    [0, n_slices); may be called up to 3x per slice. ``trainset_rows``
+    and ``n_lists`` apply PER SHARD.
+    """
+    from cuvs_tpu.distance.pairwise import DistanceType
+
+    if metric is None:
+        metric = DistanceType.L2Expanded
+    if mesh is None:
+        mesh = default_mesh()
+    n_shards = mesh.devices.size
+    if n_slices < n_shards:
+        raise ValueError(
+            f"need >= 1 slice per shard ({n_slices} slices, {n_shards} shards)"
+        )
+    axis = mesh.axis_names[0] if len(mesh.axis_names) == 1 else tuple(mesh.axis_names)
+    devs = list(mesh.devices.flat)
+    per = -(-n_slices // n_shards)
+
+    subs, counts = [], []
+    for s in range(n_shards):
+        lo, hi = s * per, min((s + 1) * per, n_slices)
+        sub = ivf_flat.build_streaming(
+            lambda i, lo=lo: slice_provider(lo + i),
+            hi - lo,
+            n_lists=n_lists,
+            metric=metric,
+            trainset_rows=trainset_rows,
+            kmeans_n_iters=kmeans_n_iters,
+            seed=seed,
+        )
+        # commit the shard to its device NOW so the build device only ever
+        # holds the shard under construction (cached jit executables pin
+        # to the build device; an explicit put moves + frees the original)
+        sub = jax.tree.map(
+            lambda a, d=devs[s]: jax.block_until_ready(jax.device_put(a, d)),
+            sub,
+        )
+        subs.append(sub)
+        counts.append(sub.n_rows)
+    subs = _unify_windows(ivf_flat, subs)
+    subs = _unify_rows(subs)
+    # re-commit after padding (pads on shards that needed them ran where
+    # XLA placed them; stacking requires exact per-device placement)
+    subs = [
+        jax.tree.map(lambda a, d=devs[s]: jax.device_put(a, d), sub)
+        for s, sub in enumerate(subs)
+    ]
+
+    # assemble the [S, ...] mesh-sharded index WITHOUT gathering: each
+    # shard's leaves are already committed to their device
+    leaves_list = [jax.tree_util.tree_flatten(ix) for ix in subs]
+    treedef = leaves_list[0][1]
+    stacked = []
+    for i in range(len(leaves_list[0][0])):
+        parts = [leaves_list[s][0][i][None] for s in range(n_shards)]
+        shape = (n_shards,) + tuple(parts[0].shape[1:])
+        sharding = NamedSharding(mesh, P(axis))
+        stacked.append(
+            jax.make_array_from_single_device_arrays(shape, sharding, parts)
+        )
+    shards = jax.tree_util.tree_unflatten(treedef, stacked)
+    offsets = [0]
+    for c in counts[:-1]:
+        offsets.append(offsets[-1] + c)
+    return MGIndex(
+        shards=shards,
+        row_offsets=jnp.asarray(offsets, jnp.int32),
+        algo="ivf_flat",
+        mode="sharded",
+        n_rows=int(sum(counts)),
+    )
+
+
+def _unify_rows(indexes):
+    """Pad IVF-Flat shard indexes to a common row count so their pytree
+    structures (static ``n_rows``) match for stacking. Padded tail rows
+    live past every list's window and are never scanned or returned."""
+    from cuvs_tpu.neighbors.ivf_flat import _norm_pad_len
+
+    n_max = max(ix.n_rows for ix in indexes)
+    data_len = max(ix.sorted_data.shape[0] for ix in indexes)
+    data_len = max(data_len, n_max + indexes[0].window)
+    norm_len = max(ix.sorted_norms.shape[0] for ix in indexes)
+    norm_len = max(norm_len, _norm_pad_len(n_max, indexes[0].window))
+    out = []
+    for ix in indexes:
+        out.append(ix.replace(
+            n_rows=n_max,
+            sorted_data=jnp.pad(
+                ix.sorted_data,
+                ((0, data_len - ix.sorted_data.shape[0]), (0, 0))),
+            sorted_norms=jnp.pad(
+                ix.sorted_norms, (0, norm_len - ix.sorted_norms.shape[0])),
+            lists=ix.lists._replace(
+                labels=jnp.pad(
+                    ix.lists.labels,
+                    (0, data_len - ix.lists.labels.shape[0]),
+                    constant_values=-1),
+                ids=jnp.pad(
+                    ix.lists.ids, (0, data_len - ix.lists.ids.shape[0])),
+            ),
+        ))
+    return out
+
+
 def _pad_to_common(indexes):
     """Zero-pad every leaf to the max shape across shards so leaves stack."""
     leaves_list = [jax.tree_util.tree_flatten(ix)[0] for ix in indexes]

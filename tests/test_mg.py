@@ -186,3 +186,24 @@ def test_multi_slice_mesh_sharded_search():
 
     centers, inertia = mg.kmeans_fit(x, 8, mesh=mesh, max_iter=5, seed=0)
     assert centers.shape == (8, 16)
+
+
+def test_streaming_sharded_build():
+    """mg.build_streaming: per-shard streaming int8 builds committed to
+    their devices (the >HBM x n_chips tier); unequal slice sizes exercise
+    the row unification."""
+    rng = np.random.default_rng(4)
+    slices = [
+        rng.standard_normal((800 if i < 15 else 400, 96), dtype=np.float32)
+        for i in range(16)
+    ]
+    x = np.concatenate(slices)
+    q = rng.standard_normal((48, 96), dtype=np.float32)
+    mesh = mg.default_mesh()
+    idx = mg.build_streaming(lambda i: slices[i], 16, mesh=mesh, n_lists=16,
+                             trainset_rows=1600)
+    assert idx.n_rows == x.shape[0]
+    assert len(idx.shards.sorted_data.sharding.device_set) == 8
+    d, i = mg.search(idx, q, 10, mesh=mesh, n_probes=16)
+    gtd, gti = naive_knn(q, x, 10)
+    assert calc_recall(np.asarray(i), gti) >= 0.85
