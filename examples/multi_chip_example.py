@@ -33,6 +33,19 @@ def main():
     centers, inertia = mg.kmeans_fit(dataset, 16)
     print("mg kmeans inertia:", float(inertia))
 
+    # STREAMING SHARDED: for datasets beyond n_chips x HBM — host slices
+    # are assigned to shards, each shard builds an int8 streaming index
+    # and is committed straight to its device (no single-device gather).
+    n_slices, rows = 8, 5_000
+    slices = [
+        rng.standard_normal((rows, 64)).astype(np.float32)
+        for _ in range(n_slices)
+    ]
+    big = mg.build_streaming(lambda i: slices[i], n_slices, n_lists=32,
+                             trainset_rows=8_000)
+    dists, ids = mg.search(big, queries, k=10, n_probes=16)
+    print("streaming sharded ivf_flat top-1:", np.asarray(ids[:5, 0]))
+
 
 if __name__ == "__main__":
     main()
