@@ -394,6 +394,177 @@ def build(dataset, params: Optional[IndexParams] = None, **kw) -> Index:
     )
 
 
+@functools.partial(jax.jit, static_argnames=("window", "chunk"))
+def _gather_codes(codes, order, window, chunk=1 << 20):
+    """Chunked row gather + window zero-pad: codes[order] at 100M+ rows
+    without the full-size reorder transient."""
+    n = order.shape[0]
+    c = max(1, min(chunk, n))
+    op = jnp.pad(order, (0, (-n) % c))
+    out = lax.map(lambda o: codes[o], op.reshape(-1, c))
+    out = out.reshape(-1, codes.shape[1])[:n]
+    return jnp.concatenate(
+        [out, jnp.zeros((window, codes.shape[1]), codes.dtype)], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "chunk"))
+def _pack_chunked(codes_u8, bits, chunk=1 << 20):
+    """bitpack.pack in row chunks (the one-shot u32 cast of the whole
+    [n, S] code array is a 4x transient that OOMs at 100M)."""
+    n, S = codes_u8.shape
+    c = max(1, min(chunk, n))
+    cp = jnp.pad(codes_u8, ((0, (-n) % c), (0, 0)))
+    out = lax.map(lambda b: bitpack.pack(b, bits), cp.reshape(-1, c, S))
+    return out.reshape(-1, out.shape[-1])[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _codes_t_chunked(sorted_u8, chunk=1 << 20):
+    """ivf_scan.pack_codes_transposed in row chunks (same 4x-transient
+    avoidance); input already carries the window pad rows."""
+    Np, S = sorted_u8.shape
+    Sw = -(-S // 4)
+    c = max(1, min(chunk, Np))
+    pad = (-Np) % c
+    cp = jnp.pad(sorted_u8, ((0, pad), (0, 0)))
+
+    def step(i, out):
+        blk = lax.dynamic_slice(cp, (i * c, 0), (c, S)).astype(jnp.uint32)
+        w = jnp.pad(blk, ((0, 0), (0, Sw * 4 - S))).reshape(c, Sw, 4)
+        words = (w[:, :, 0] | (w[:, :, 1] << 8) | (w[:, :, 2] << 16)
+                 | (w[:, :, 3] << 24))
+        return lax.dynamic_update_slice(out, words.T, (0, i * c))
+
+    out = jnp.zeros((Sw, Np + pad), jnp.uint32)
+    return lax.fori_loop(0, (Np + pad) // c, step, out)[:, :Np]
+
+
+def build_streaming(
+    slice_provider,
+    n_slices: int,
+    n_lists: int = 16384,
+    pq_dim: Optional[int] = None,
+    pq_bits: int = 8,
+    metric: DistanceType = DistanceType.L2Expanded,
+    trainset_rows: int = 2_000_000,
+    kmeans_n_iters: int = 10,
+    seed: int = 0,
+    serving_layout: bool = True,
+) -> Index:
+    """Out-of-HBM-source IVF-PQ build (the bigann-1B / deep-1B regime:
+    the reference builds these from host-memory datasets — datasets.yaml
+    1B rows; here the f32 source never exists on device OR in host RAM
+    beyond one slice).
+
+    ``slice_provider(i) -> [rows, d]`` host numpy array, called up to 3x
+    per slice. Quantizer + PER_SUBSPACE codebooks train on a subsample;
+    each slice uploads once for labeling + residual encoding, and only
+    the uint8 codes (pq_dim bytes/row) stay on device. Final device
+    memory: packed codes ~= n * pq_dim * pq_bits / 8 bytes (+ the same
+    again for the fused serving layout when ``serving_layout=True`` —
+    disable it past ~150M x 48 on a 16 GB chip and serve through the
+    unfused scan).
+    """
+    import numpy as np
+
+    metric = normalize_metric(metric)
+    if metric not in (DistanceType.L2Expanded, DistanceType.L2SqrtExpanded,
+                      DistanceType.InnerProduct):
+        raise ValueError("build_streaming supports L2/IP metrics")
+
+    first = np.asarray(slice_provider(0))
+    d = int(first.shape[1])
+    del first
+    pq_dim = pq_dim or calculate_pq_dim(d)
+    pq_len = -(-d // pq_dim)
+    rot_dim = pq_dim * pq_len
+    book = 1 << pq_bits
+    key = jax.random.PRNGKey(seed)
+    k_rot, k_book, k_sub = jax.random.split(key, 3)
+
+    # ---- pass 0: subsample -> coarse centers + rotation + codebooks ----
+    sub = []
+    for i in range(n_slices):
+        sl = np.asarray(slice_provider(i), np.float32)
+        sub.append(sl[:: max(1, sl.shape[0] * n_slices // trainset_rows)])
+    trainset = jnp.asarray(np.concatenate(sub, axis=0)[:trainset_rows])
+    del sub
+    centers = kmeans_balanced.fit(
+        trainset,
+        n_lists,
+        kmeans_balanced.BalancedParams(
+            n_clusters=n_lists, n_iters=kmeans_n_iters,
+            trainset_fraction=1.0, seed=seed,
+        ),
+    )
+    rotation = _make_rotation(k_rot, d, rot_dim, False)
+    centers_rot = centers @ rotation.T
+    lab_t = kmeans_balanced.predict(trainset, centers)
+    res_t = (trainset - centers[lab_t]) @ rotation.T
+    n_train = min(res_t.shape[0], 256 * book)
+    idx_t = jax.random.choice(k_sub, res_t.shape[0], (n_train,), replace=False)
+    res_train = res_t[idx_t].reshape(n_train, pq_dim, pq_len).transpose(1, 0, 2)
+    pq_centers = _train_codebooks(k_book, res_train, book, 25)
+    del trainset, res_t, res_train
+
+    # ---- pass 1: per-slice label + encode; codes stay on device ----
+    labels_h, codes_dev = [], []
+    for i in range(n_slices):
+        sl = jnp.asarray(np.asarray(slice_provider(i), np.float32))
+        lab = kmeans_balanced.predict(sl, centers)
+        res = (sl - centers[lab]) @ rotation.T
+        codes_dev.append(jax.block_until_ready(_encode(res, pq_centers)))
+        labels_h.append(np.asarray(lab))  # 4 B/row crosses to the host
+        del sl, res
+    labels_all = np.concatenate(labels_h)
+    n = int(labels_all.shape[0])
+    sizes = np.bincount(labels_all, minlength=n_lists).astype(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    window = ivf.round_window(int(sizes.max()))
+    order = np.argsort(labels_all, kind="stable")
+
+    # ---- assembly: chunked gather into list order, pack bits ----
+    codes = jnp.concatenate(codes_dev, axis=0)
+    del codes_dev
+    order_d = jnp.asarray(order.astype(np.int32))
+    sorted_u8 = jax.block_until_ready(_gather_codes(codes, order_d, window))
+    del codes
+    sorted_codes = _pack_chunked(sorted_u8, pq_bits)
+    serving_codes = serving_norms = None
+    if serving_layout:
+        from cuvs_tpu.neighbors import ivf_scan
+
+        serving_codes = _codes_t_chunked(sorted_u8)
+        serving_norms = ivf_scan.decoded_norms(
+            sorted_u8[:n], pq_centers, window, window + 128)
+    del sorted_u8
+
+    lists = ivf.SortedLists(
+        offsets=jnp.asarray(offsets.astype(np.int32)),
+        sizes=jnp.asarray(sizes.astype(np.int32)),
+        labels=jnp.asarray(np.pad(labels_all[order], (0, window),
+                                  constant_values=-1)),
+        ids=jnp.asarray(np.pad(order.astype(np.int32), (0, window))),
+    )
+    return Index(
+        centers=centers,
+        center_norms=pairwise.row_norms(centers),
+        centers_rot=centers_rot,
+        rotation=rotation,
+        pq_centers=pq_centers,
+        sorted_codes=sorted_codes,
+        lists=lists,
+        metric=metric,
+        window=window,
+        n_rows=n,
+        pq_bits=pq_bits,
+        codebook_gen="per_subspace",
+        pq_dim_static=int(pq_dim),
+        sorted_codes_t=serving_codes,
+        sorted_code_norms=serving_norms,
+    )
+
+
 def extend(index: Index, new_vectors, new_ids=None) -> Index:
     """Append vectors: assign to lists, encode residuals, re-sort."""
     xf = jnp.asarray(new_vectors, jnp.float32)

@@ -29,7 +29,7 @@ jax.config.update("jax_threefry_partitionable", True)
 _SLOW = {
     "test_ivf_pq.py": [
         "test_recall", "test_per_cluster", "test_lut_dtype", "test_pq_bits",
-        "test_extend", "test_prefilter",
+        "test_extend", "test_prefilter", "test_build_streaming",
     ],
     "test_ivf_flat.py": ["test_recall", "test_extend", "test_adaptive"],
     "test_ivf_sq.py": ["test_recall"],

@@ -176,3 +176,40 @@ def test_train_only_build_then_extend():
     assert idx.n_rows == 6000
     _, i = ivf_pq.search(idx, q, 10, n_probes=32)
     assert calc_recall(np.asarray(i), gti) >= 0.7
+
+
+def test_build_streaming_matches_in_memory():
+    """build_streaming (bigann-1B regime: host slices, codes-only on
+    device): recall parity with the in-memory builder and a byte-identical
+    fused serving layout."""
+    import jax.numpy as jnp
+
+    from cuvs_tpu.core import bitpack
+    from cuvs_tpu.neighbors import ivf_scan
+
+    rng = np.random.default_rng(2)
+    slices = [make_blobs(rng, 2500 if i < 5 else 1300, 96, n_centers=64)
+              for i in range(6)]
+    x = np.concatenate(slices)
+    q = make_blobs(rng, 64, 96, n_centers=64)
+    gtd, gti = naive_knn(q, x, 10)
+
+    idx = ivf_pq.build_streaming(lambda i: slices[i], 6, n_lists=32,
+                                 pq_dim=48, trainset_rows=4000)
+    assert idx.n_rows == x.shape[0]
+    _, i = ivf_pq.search(idx, q, 10, n_probes=32)
+    r_stream = calc_recall(np.asarray(i), gti)
+
+    idx2 = ivf_pq.build(x, n_lists=32, pq_dim=48, seed=0)
+    _, i2 = ivf_pq.search(idx2, q, 10, n_probes=32)
+    r_mem = calc_recall(np.asarray(i2), gti)
+    assert r_stream >= r_mem - 0.05, (r_stream, r_mem)
+
+    # the chunked serving layout must equal the one-shot helper's bytes
+    cs = jnp.asarray(np.asarray(bitpack.unpack(
+        idx.sorted_codes[: idx.n_rows], idx.pq_bits, idx.pq_dim_static
+    )).astype(np.uint8))
+    np.testing.assert_array_equal(
+        np.asarray(idx.sorted_codes_t),
+        np.asarray(ivf_scan.pack_codes_transposed(cs, idx.window)),
+    )
