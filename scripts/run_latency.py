@@ -14,6 +14,10 @@ import os
 import sys
 import time
 
+# runnable as `python scripts/<name>.py` from anywhere: put the repo
+# root (this file's parent's parent) on sys.path for cuvs_tpu imports
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.expanduser("~/.jax_cache"))
 
