@@ -138,6 +138,12 @@ class SearchParams:
     rand_xor_mask: int = 0x128394
     compute_dtype: object = jnp.float32
     query_chunk: int = 1024
+    # visited-ring capacity (the TPU analog of the reference's visited
+    # hashmap, hashmap.hpp:23-60): ids expanded in the last visited_size
+    # expansions cannot re-enter the itopk, so beam slots are not wasted
+    # re-expanding nodes that were evicted and re-proposed. 0 = auto
+    # (covers every expansion the iteration budget allows, capped at 256).
+    visited_size: int = 0
 
 
 @flax.struct.dataclass
@@ -257,12 +263,13 @@ def pack(index: Index) -> PackedIndex:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "itopk", "search_width", "max_iter", "metric", "compute_dtype"),
+    static_argnames=("k", "itopk", "search_width", "max_iter", "n_random",
+                     "vis_size", "metric", "compute_dtype"),
 )
 def _search_chunk_packed(
     graph, child_vecs, child_norms, dataset_int8, dataset_norms, scale,
     queries, qids, prefilter, key, k, itopk, search_width, max_iter,
-    metric, compute_dtype,
+    n_random, vis_size, metric, compute_dtype,
 ):
     """Beam search over the packed layout. Same traversal semantics as
     ``_search_chunk``; candidate vectors come from the PARENT's packed
@@ -286,9 +293,11 @@ def _search_chunk_packed(
             return -real
         return jnp.maximum(qnorm[:, None] + norms_rows - 2.0 * real, 0.0)
 
-    # --- seed init from the int8 dataset rows ---
-    seeds = jax.random.randint(key, (B, L), 0, n)
-    svecs = dataset_int8[seeds].astype(compute_dtype)  # [B, L, d]
+    # --- seed init from the int8 dataset rows (num_random_samplings * L
+    # randoms, best L kept — cagra.hpp num_random_samplings semantics) ---
+    n_seeds = max(L, n_random * L)
+    seeds = jax.random.randint(key, (B, n_seeds), 0, n)
+    svecs = dataset_int8[seeds].astype(compute_dtype)  # [B, S, d]
     sdots = lax.dot_general(
         qc[:, None, :], svecs, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
@@ -296,18 +305,20 @@ def _search_chunk_packed(
     )[:, 0, :]
     seed_d = dist_from_dots(sdots, dataset_norms[seeds])
     eq = seeds[:, :, None] == seeds[:, None, :]
-    earlier = jnp.tril(jnp.ones((L, L), bool), k=-1)
+    earlier = jnp.tril(jnp.ones((n_seeds, n_seeds), bool), k=-1)
     seed_d = jnp.where(jnp.any(jnp.logical_and(eq, earlier[None]), axis=2), jnp.inf, seed_d)
-    state_v, state_id = lax.sort((seed_d, seeds), dimension=1, num_keys=1)
+    sv, sid = lax.sort((seed_d, seeds), dimension=1, num_keys=1)
+    state_v, state_id = sv[:, :L], sid[:, :L]
+    vis0 = jnp.full((B, vis_size), -2, jnp.int32)
 
     def cond(st):
-        state_v, state_id, it = st
+        state_v, state_id, vis, it = st
         unexplored = jnp.logical_and(state_id >= 0, (state_id & EXPLORED) == 0)
         has_work = jnp.any(jnp.logical_and(unexplored, jnp.isfinite(state_v)))
         return jnp.logical_and(it < max_iter, has_work)
 
     def body(st):
-        state_v, state_id, it = st
+        state_v, state_id, vis, it = st
         raw_id = state_id & (EXPLORED - 1)
         unexplored = jnp.logical_and(
             jnp.logical_and(state_id >= 0, (state_id & EXPLORED) == 0),
@@ -321,6 +332,10 @@ def _search_chunk_packed(
         ].set(jnp.where(sel, raw_id, -1), mode="drop")[:, :W]
         parent_valid = parent_ids >= 0
         state_id = jnp.where(sel, state_id | EXPLORED, state_id)
+        pos = (it * W + jnp.arange(W, dtype=jnp.int32)) % vis_size
+        vis = vis.at[jnp.arange(B)[:, None], pos[None, :]].set(
+            jnp.where(parent_valid, parent_ids, -2)
+        )
 
         safe_p = jnp.where(parent_valid, parent_ids, 0)
         children = graph[safe_p].reshape(B, C)
@@ -329,10 +344,14 @@ def _search_chunk_packed(
         children = jnp.where(jnp.repeat(parent_valid, deg, axis=1), children, -1)
 
         dup_itopk = jnp.any(children[:, :, None] == raw_id[:, None, :], axis=2)
+        dup_vis = jnp.any(children[:, :, None] == vis[:, None, :], axis=2)
         ceq = children[:, :, None] == children[:, None, :]
         c_earlier = jnp.tril(jnp.ones((C, C), bool), k=-1)
         dup_within = jnp.any(jnp.logical_and(ceq, c_earlier[None]), axis=2)
-        invalid = jnp.logical_or(children < 0, jnp.logical_or(dup_itopk, dup_within))
+        invalid = jnp.logical_or(
+            children < 0,
+            jnp.logical_or(dup_itopk, jnp.logical_or(dup_vis, dup_within)),
+        )
 
         dots = lax.dot_general(
             qc[:, None, :], cvecs, (((2,), (2,)), ((0,), (0,))),
@@ -345,9 +364,10 @@ def _search_chunk_packed(
         mv = jnp.concatenate([state_v, cand_d], axis=1)
         mid = jnp.concatenate([state_id, children], axis=1)
         sv2, sid2 = lax.sort((mv, mid), dimension=1, num_keys=1)
-        return (sv2[:, :L], sid2[:, :L], it + 1)
+        return (sv2[:, :L], sid2[:, :L], vis, it + 1)
 
-    state_v, state_id, _ = lax.while_loop(cond, body, (state_v, state_id, jnp.int32(0)))
+    state_v, state_id, _, _ = lax.while_loop(
+        cond, body, (state_v, state_id, vis0, jnp.int32(0)))
 
     raw_id = state_id & (EXPLORED - 1)
     out_v = jnp.where(state_id >= 0, state_v, jnp.inf)
@@ -462,7 +482,8 @@ def _distances_to(data_pack, dataset_norms, q, qnorm, ids, metric, compute_dtype
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k", "itopk", "search_width", "max_iter", "n_random", "metric", "compute_dtype",
+        "k", "itopk", "search_width", "max_iter", "n_random", "vis_size",
+        "metric", "compute_dtype",
     ),
 )
 def _search_chunk(
@@ -478,6 +499,7 @@ def _search_chunk(
     search_width,
     max_iter,
     n_random,
+    vis_size,
     metric,
     compute_dtype,
 ):
@@ -513,9 +535,12 @@ def _search_chunk(
     sv, sid = lax.sort((seed_d, seeds), dimension=1, num_keys=1)
     state_v = sv[:, :L]
     state_id = sid[:, :L]  # unexplored (flag clear)
+    # visited ring (hashmap.hpp:23-60 analog): last vis_size expanded ids;
+    # -2 fill so it never matches a real id or the -1 padding sentinel
+    vis0 = jnp.full((B, vis_size), -2, jnp.int32)
 
     def cond(st):
-        state_v, state_id, it = st
+        state_v, state_id, vis, it = st
         unexplored = jnp.logical_and(
             state_id >= 0, (state_id & EXPLORED) == 0
         )
@@ -523,7 +548,7 @@ def _search_chunk(
         return jnp.logical_and(it < max_iter, has_work)
 
     def body(st):
-        state_v, state_id, it = st
+        state_v, state_id, vis, it = st
         raw_id = state_id & (EXPLORED - 1)
         unexplored = jnp.logical_and(
             jnp.logical_and(state_id >= 0, (state_id & EXPLORED) == 0),
@@ -541,19 +566,29 @@ def _search_chunk(
         parent_valid = parent_ids >= 0
         # mark explored
         state_id = jnp.where(sel, state_id | EXPLORED, state_id)
+        # record the expansions in the visited ring
+        pos = (it * search_width + jnp.arange(search_width, dtype=jnp.int32)) % vis_size
+        vis = vis.at[jnp.arange(B)[:, None], pos[None, :]].set(
+            jnp.where(parent_valid, parent_ids, -2)
+        )
 
         # gather children
         children = graph[jnp.where(parent_valid, parent_ids, 0)].reshape(B, C)
         children = jnp.where(
             jnp.repeat(parent_valid, deg, axis=1), children, -1
         )
-        # dedup: against current itopk and within candidates (pairwise
-        # compares, no sorts — all VPU work that fuses with the masking)
+        # dedup: against current itopk, the visited ring, and within the
+        # candidate block (pairwise compares, no sorts — all VPU work that
+        # fuses with the masking)
         dup_itopk = jnp.any(children[:, :, None] == raw_id[:, None, :], axis=2)
+        dup_vis = jnp.any(children[:, :, None] == vis[:, None, :], axis=2)
         ceq = children[:, :, None] == children[:, None, :]  # [B, C, C]
         c_earlier = jnp.tril(jnp.ones((C, C), bool), k=-1)
         dup_within = jnp.any(jnp.logical_and(ceq, c_earlier[None]), axis=2)
-        invalid = jnp.logical_or(children < 0, jnp.logical_or(dup_itopk, dup_within))
+        invalid = jnp.logical_or(
+            children < 0,
+            jnp.logical_or(dup_itopk, jnp.logical_or(dup_vis, dup_within)),
+        )
 
         cand_d = _distances_to(
             data_pack, dataset_norms, qc, qnorm, jnp.maximum(children, 0), metric, compute_dtype
@@ -564,9 +599,10 @@ def _search_chunk(
         mv = jnp.concatenate([state_v, cand_d], axis=1)
         mid = jnp.concatenate([state_id, children], axis=1)
         sv2, sid2 = lax.sort((mv, mid), dimension=1, num_keys=1)
-        return (sv2[:, :L], sid2[:, :L], it + 1)
+        return (sv2[:, :L], sid2[:, :L], vis, it + 1)
 
-    state_v, state_id, _ = lax.while_loop(cond, body, (state_v, state_id, jnp.int32(0)))
+    state_v, state_id, _, _ = lax.while_loop(
+        cond, body, (state_v, state_id, vis0, jnp.int32(0)))
 
     raw_id = state_id & (EXPLORED - 1)
     out_v = state_v
@@ -608,6 +644,10 @@ def search(
     nq = queries.shape[0]
     itopk = max(params.itopk_size, k)
     max_iter = params.max_iterations or max(10, itopk // max(params.search_width, 1) + 10)
+    # visited ring: auto = cover every expansion the budget allows (so the
+    # ring never wraps), capped at 256 slots of compare work per candidate
+    vis_size = params.visited_size or min(256, max(
+        32, 1 << (max_iter * params.search_width - 1).bit_length()))
     key = jax.random.PRNGKey(seed)
 
     chunk = int(min(params.query_chunk, max(8, nq)))
@@ -636,6 +676,8 @@ def search(
                 int(itopk),
                 int(params.search_width),
                 int(max_iter),
+                int(params.num_random_samplings),
+                int(vis_size),
                 index.metric,
                 params.compute_dtype,
             )
@@ -655,6 +697,7 @@ def search(
             int(params.search_width),
             int(max_iter),
             int(params.num_random_samplings),
+            int(vis_size),
             index.metric,
             params.compute_dtype,
         )
