@@ -620,7 +620,6 @@ def search(
                 "fused"
                 if (
                     jax.default_backend() == "tpu"
-                    and (prefilter is None or prefilter.is_none)
                     and index.metric in (
                         DistanceType.L2Expanded,
                         DistanceType.L2SqrtExpanded,
@@ -631,15 +630,12 @@ def search(
             )
         else:
             algo = "query_major"
-    if algo == "fused" and (
-        not (prefilter is None or prefilter.is_none)
-        or index.metric not in (
-            DistanceType.L2Expanded,
-            DistanceType.L2SqrtExpanded,
-            DistanceType.InnerProduct,
-        )
+    if algo == "fused" and index.metric not in (
+        DistanceType.L2Expanded,
+        DistanceType.L2SqrtExpanded,
+        DistanceType.InnerProduct,
     ):
-        algo = "cluster_major"  # filters / other metrics: unfused scan
+        algo = "cluster_major"  # other metrics: unfused scan
     if algo == "fused":
         from cuvs_tpu.neighbors import ivf_scan
 
@@ -668,6 +664,7 @@ def search(
             None if params.recall_target is None else float(params.recall_target),
             index.q_scale,
             bin_cap=cap,
+            prefilter=prefilter,
             interpret=jax.default_backend() != "tpu",
         )
     if algo == "cluster_major":

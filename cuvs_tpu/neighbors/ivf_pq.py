@@ -785,7 +785,6 @@ def search(
     fused_ok = (
         index.sorted_codes_t is not None
         and index.codebook_gen == "per_subspace"
-        and (prefilter is None or prefilter.is_none)
         and index.metric in (
             DistanceType.L2Expanded,
             DistanceType.L2SqrtExpanded,
@@ -834,6 +833,7 @@ def search(
             None if params.recall_target is None else float(params.recall_target),
             bin_cap=cap,
             book=int(index.pq_book_size),
+            prefilter=prefilter,
             interpret=jax.default_backend() != "tpu",
         )
     if algo == "cluster_major":

@@ -309,7 +309,6 @@ def search(
     traced_ctx = isinstance(queries, jax.core.Tracer)
     fused_ok = (
         index.sorted_codes_t is not None
-        and (prefilter is None or prefilter.is_none)
         and index.metric in (
             DistanceType.L2Expanded,
             DistanceType.L2SqrtExpanded,
@@ -359,6 +358,7 @@ def search(
             int(index.bits_per_dim),
             None if params.recall_target is None else float(params.recall_target),
             bin_cap=cap,
+            prefilter=prefilter,
             interpret=jax.default_backend() != "tpu",
         )
     return _search_impl(

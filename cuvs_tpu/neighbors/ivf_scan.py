@@ -435,6 +435,8 @@ def cluster_major_scan_fused(
     recall_target=None,
     q_scale=None,
     bin_cap=None,
+    prefilter=None,
+    overfetch=4,
     interpret=False,
 ):
     """IVF-Flat cluster-major search through the fused Pallas scan kernel
@@ -443,8 +445,16 @@ def cluster_major_scan_fused(
 
     Same grouping as ``cluster_major_scan_tiled``; per-probe candidates
     are per-128-row-bin minima (approx-select semantics; pair with
-    refine() for the last recall digit). L2 family + InnerProduct only,
-    unfiltered (callers fall back to the unfused scan otherwise).
+    refine() for the last recall digit). L2 family + InnerProduct only.
+
+    Filters (sample_filter_data.cuh analog): a BITSET filter folds into
+    the kernel's per-row penalty array — filtered rows carry a +inf
+    penalty, so they never occupy a bin slot (exact semantics, zero
+    kernel cost). BITMAP/UDF filters are per-query, so they mask the
+    candidate pool after the scan: the pool is over-fetched by
+    ``overfetch``x, masked, and re-selected — approximate when more than
+    (overfetch-1)*k of a query's pool leaders are filtered out (the
+    reference's filtering_rate trade-off, cagra.hpp:355).
     """
     from cuvs_tpu.ops import ivf_scan_pallas
 
@@ -456,6 +466,24 @@ def cluster_major_scan_fused(
     dp = sorted_data.shape[1]
     n_pad = sorted_data.shape[0]
     W_k = window + 128  # +128: room for the 128-aligned start shift
+
+    flt = None if (prefilter is None or prefilter.is_none) else prefilter
+    bitset_mode = flt is not None and flt.kind == "bitset"
+    post_mode = flt is not None and not bitset_mode
+    ip_kernel = ip
+    if bitset_mode:
+        from cuvs_tpu.core import bitset as _bs
+
+        # poison filtered rows' penalty: +inf penalty => the row loses
+        # every bin comparison. IP has no norm term, so route through the
+        # L2 penalty path with zero "norms" — order values come back as
+        # -2*q.y (2x the IP order value), rescaled after the top-k.
+        m = min(lists.ids.shape[0], sorted_norms.shape[0])
+        valid_rows = _bs.bitset_test(flt.bits, lists.ids[:m])
+        base = jnp.zeros_like(sorted_norms) if ip else sorted_norms
+        sorted_norms = base.at[:m].set(
+            jnp.where(valid_rows, base[:m], jnp.inf))
+        ip_kernel = False
 
     tile_cluster, qidx, pair_tile, pair_slot = group_pairs_tiled(
         probe_ids, n_lists, M, n_tiles
@@ -487,7 +515,7 @@ def cluster_major_scan_fused(
     cap = int(bin_cap) if bin_cap else int(min(32, max(2, -(-k // 32))))
     out_v, out_i = ivf_scan_pallas.fused_ivf_scan(
         sorted_data, sorted_norms, qc, qidx, al, lo, sizes, scale2,
-        W=W_k, m_tile=M, inner=ib * 128, ip=ip, int8_mode=int8_mode,
+        W=W_k, m_tile=M, inner=ib * 128, ip=ip_kernel, int8_mode=int8_mode,
         cap=cap, interpret=interpret,
     )
     Fc = cap * 128
@@ -500,7 +528,8 @@ def cluster_major_scan_fused(
     po = out_i[pair_tile, pair_slot].reshape(nq, p * Fc)
 
     kk = min(k, p * Fc)
-    tv, tl = topk(pv, kk, True, recall_target)
+    fetch = min(p * Fc, max(k * overfetch, k)) if post_mode else kk
+    tv, tl = topk(pv, fetch, True, recall_target)
     ok = jnp.isfinite(tv)
     # recover global positions: pool col = probe j * Fc + rank r * 128 +
     # lane bin; stored uint8 = 128-slice id within the window
@@ -510,6 +539,16 @@ def cluster_major_scan_fused(
     off = jnp.take_along_axis(po, tl, axis=1).astype(jnp.int32)
     pos = al_pad[tile_sel] + off * 128 + ((tl % Fc) % 128)
     fi = jnp.where(ok, lists.ids[jnp.where(ok, pos, 0)], 0)
+
+    if bitset_mode and ip:
+        tv = tv * 0.5  # kernel scored -2*q.y through the L2 penalty path
+    if post_mode:
+        qid = jnp.arange(nq, dtype=jnp.int32)
+        mask = filt.passes(flt, qid[:, None], fi)
+        tv = jnp.where(jnp.logical_and(ok, mask), tv, jnp.inf)
+        tv, fi = lax.sort((tv, fi), dimension=1, num_keys=1)
+        tv, fi = tv[:, :kk], fi[:, :kk]
+        ok = jnp.isfinite(tv)
 
     if ip:
         fv = jnp.where(ok, -tv, -jnp.inf)
@@ -584,6 +623,8 @@ def cluster_major_scan_pq_fused(
     recall_target=None,
     bin_cap=None,
     book=256,
+    prefilter=None,
+    overfetch=4,
     interpret=False,
 ):
     """IVF-PQ cluster-major search through the fused Pallas PQ kernel
@@ -591,9 +632,12 @@ def cluster_major_scan_pq_fused(
     with one-hot MXU matmuls and scored/bin-reduced on-chip — no HBM
     reconstruction tensor, no order tensor (the reference analog:
     ivf_pq_compute_similarity_impl.cuh:35-78). PER_SUBSPACE codebooks,
-    L2 family + InnerProduct, unfiltered; callers fall back to the
-    unfused scan otherwise. Rankings are ADC-approximate — pair with
-    refine() for the last recall digits."""
+    L2 family + InnerProduct. Rankings are ADC-approximate — pair with
+    refine() for the last recall digits.
+
+    Filters: bitset folds into the kernel's per-row penalty (exact; IP
+    rides the penalty channel via ``use_pen``); bitmap/udf mask an
+    overfetched pool after the scan (see cluster_major_scan_fused)."""
     from cuvs_tpu.ops import ivf_scan_pallas
 
     nq, d = queries_f32.shape
@@ -624,6 +668,24 @@ def cluster_major_scan_pq_fused(
     centers_tile = crot_p[safe_c]  # [n_tiles, dp]
     cb_t = block_diag_codebook(pq_centers, dp, cdt)
 
+    flt = None if (prefilter is None or prefilter.is_none) else prefilter
+    bitset_mode = flt is not None and flt.kind == "bitset"
+    use_pen = False
+    if bitset_mode:
+        from cuvs_tpu.core import bitset as _bs
+
+        m = min(lists.ids.shape[0], sorted_norms.shape[0])
+        valid_rows = _bs.bitset_test(flt.bits, lists.ids[:m])
+        if ip:
+            # IP scoring has no norm term; carry a 0/+inf filter penalty
+            # on the norm channel instead (kernel use_pen path)
+            base = jnp.zeros_like(sorted_norms)
+            use_pen = True
+        else:
+            base = sorted_norms
+        sorted_norms = base.at[:m].set(
+            jnp.where(valid_rows, base[:m], jnp.inf))
+
     blocks = W_k // 128
     ib = max(b for b in range(1, min(blocks, 4) + 1) if blocks % b == 0)
     cap = int(bin_cap) if bin_cap else int(min(32, max(2, -(-k // 32))))
@@ -631,7 +693,7 @@ def cluster_major_scan_pq_fused(
         codes_t, sorted_norms, qrot_p, cb_t, centers_tile,
         qidx, al, lo, sizes,
         W=W_k, m_tile=M, inner=ib * 128, ip=ip, cap=cap, book=book,
-        interpret=interpret,
+        use_pen=use_pen, interpret=interpret,
     )
     # per-(query, probe) cluster term: L2 adds ||q' - c_rot||^2's query
     # part ||Rq - c_rot||^2; IP adds -q.center (q.x = q.c + q_rot.y)
@@ -639,6 +701,8 @@ def cluster_major_scan_pq_fused(
     return _pool_with_offsets(
         out_v, out_i, pair_tile, pair_slot, al, lists, offs, k, metric,
         ip, cap, recall_target,
+        post_filter=flt if (flt is not None and not bitset_mode) else None,
+        overfetch=overfetch,
     )
 
 
@@ -656,10 +720,13 @@ def _cluster_offsets(qrot, centers_rot, probe_ids, ip):
 
 
 def _pool_with_offsets(out_v, out_i, pair_tile, pair_slot, al, lists, offs,
-                       k, metric, ip, cap, recall_target):
+                       k, metric, ip, cap, recall_target,
+                       post_filter=None, overfetch=4):
     """Shared fused-kernel postlude: sentinel-pad the tile pool, add the
     per-probe offsets, cross-probe top-k, recover global ids from
-    (window start, 128-slice, lane)."""
+    (window start, 128-slice, lane). ``post_filter`` (bitmap/udf
+    prefilter) masks an ``overfetch``x-deep candidate pool before the
+    final cut."""
     nq, p = pair_tile.shape
     Fc = cap * 128
     out_v = jnp.pad(out_v, ((0, 1), (0, 0), (0, 0)), constant_values=jnp.inf)
@@ -669,7 +736,8 @@ def _pool_with_offsets(out_v, out_i, pair_tile, pair_slot, al, lists, offs,
     pv = (pv + offs[:, :, None]).reshape(nq, p * Fc)
 
     kk = min(k, p * Fc)
-    tv, tl = topk(pv, kk, True, recall_target)
+    fetch = min(p * Fc, max(k * overfetch, k)) if post_filter is not None else kk
+    tv, tl = topk(pv, fetch, True, recall_target)
     ok = jnp.isfinite(tv)
     al_pad = jnp.append(al, 0)
     probe_j = tl // Fc
@@ -677,6 +745,14 @@ def _pool_with_offsets(out_v, out_i, pair_tile, pair_slot, al, lists, offs,
     off = jnp.take_along_axis(po, tl, axis=1).astype(jnp.int32)
     pos = al_pad[tile_sel] + off * 128 + ((tl % Fc) % 128)
     fi = jnp.where(ok, lists.ids[jnp.where(ok, pos, 0)], 0)
+
+    if post_filter is not None:
+        qid = jnp.arange(nq, dtype=jnp.int32)
+        mask = filt.passes(post_filter, qid[:, None], fi)
+        tv = jnp.where(jnp.logical_and(ok, mask), tv, jnp.inf)
+        tv, fi = lax.sort((tv, fi), dimension=1, num_keys=1)
+        tv, fi = tv[:, :kk], fi[:, :kk]
+        ok = jnp.isfinite(tv)
 
     if ip:
         fv = jnp.where(ok, -tv, -jnp.inf)
@@ -707,6 +783,8 @@ def cluster_major_scan_rabitq_fused(
     bits,
     recall_target=None,
     bin_cap=None,
+    prefilter=None,
+    overfetch=4,
     interpret=False,
 ):
     """IVF-RaBitQ cluster-major search through the fused quantized-code
@@ -753,6 +831,19 @@ def cluster_major_scan_rabitq_fused(
     xu_tab = jnp.broadcast_to(levels, (rot_dim, book, 1))
     cb_t = block_diag_codebook(xu_tab, dp, cdt)
 
+    flt = None if (prefilter is None or prefilter.is_none) else prefilter
+    bitset_mode = flt is not None and flt.kind == "bitset"
+    if bitset_mode:
+        from cuvs_tpu.core import bitset as _bs
+
+        # fold the filter into fa: the estimator -(fa + fr*dots) goes to
+        # -inf on filtered rows regardless of metric (fa is poisoned to
+        # +inf on invalid window slots by the kernel already)
+        m = min(lists.ids.shape[0], sorted_fa.shape[0])
+        valid_rows = _bs.bitset_test(flt.bits, lists.ids[:m])
+        sorted_fa = sorted_fa.at[:m].set(
+            jnp.where(valid_rows, sorted_fa[:m], jnp.inf))
+
     blocks = W_k // 128
     ib = max(b for b in range(1, min(blocks, 4) + 1) if blocks % b == 0)
     cap = int(bin_cap) if bin_cap else int(min(32, max(2, -(-k // 32))))
@@ -767,6 +858,8 @@ def cluster_major_scan_rabitq_fused(
     return _pool_with_offsets(
         out_v, out_i, pair_tile, pair_slot, al, lists, offs, k, metric,
         ip, cap, recall_target,
+        post_filter=flt if (flt is not None and not bitset_mode) else None,
+        overfetch=overfetch,
     )
 
 

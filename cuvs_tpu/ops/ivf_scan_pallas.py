@@ -216,6 +216,7 @@ def _pq_scan_kernel(
     book: int,
     bits: int,
     mode: str,
+    use_pen: bool = False,
 ):
     """Quantized-code analog of ``_scan_kernel`` (the reference's fused
     LUT scans: ivf_pq_compute_similarity_impl.cuh:35-78, RaBitQ
@@ -260,7 +261,8 @@ def _pq_scan_kernel(
             dmas.append(pltpu.make_async_copy(
                 fr_hbm.at[pl.ds(nrow, Wn // 128), :], fr_buf.at[slot],
                 sems.at[slot, 2]))
-        elif not ip:  # PQ-IP ranking needs no norms
+        elif not ip or use_pen:  # PQ-IP ranking needs no norms unless a
+            # filter penalty rides the norm channel (use_pen)
             dmas.append(pltpu.make_async_copy(
                 norms_hbm.at[pl.ds(nrow, Wn // 128), :], norm_buf.at[slot],
                 sems.at[slot, 1]))
@@ -306,7 +308,11 @@ def _pq_scan_kernel(
                            jnp.inf)
         fr_blk = fr_buf[slot, pl.ds(nshift, blocks), :]
     elif ip:
-        pen = jnp.where(valid, 0.0, jnp.inf)
+        if use_pen:  # norm channel carries a 0/+inf filter penalty
+            nrm = norm_buf[slot, pl.ds(nshift, blocks), :]
+            pen = jnp.where(valid, nrm, jnp.inf)
+        else:
+            pen = jnp.where(valid, 0.0, jnp.inf)
     else:
         nrm = norm_buf[slot, pl.ds(nshift, blocks), :]
         pen = jnp.where(valid, nrm * 0.5, jnp.inf)
@@ -377,7 +383,7 @@ def _norm_layout(arr, n_pad: int, Wn: int):
 @functools.partial(
     jax.jit,
     static_argnames=("W", "m_tile", "inner", "ip", "cap", "book", "bits",
-                     "mode", "interpret"),
+                     "mode", "use_pen", "interpret"),
 )
 def fused_pq_scan(
     codes_t,       # [Sw, n_pad] uint32 bit-packed codes, list-sorted
@@ -398,6 +404,7 @@ def fused_pq_scan(
     bits: int = 8,
     mode: str = "pq",
     sorted_fr=None,  # [n] f32 rabitq f_rescale (effective), else None
+    use_pen: bool = False,  # IP mode: norm channel carries a filter penalty
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run the fused quantized-code scan. Same output contract as
@@ -445,7 +452,7 @@ def fused_pq_scan(
     )
     kernel = functools.partial(
         _pq_scan_kernel, W=W, Wn=Wn, inner=inner, ip=ip, nq_pad=nq_pad,
-        cap=cap, S=S, book=book, bits=bits, mode=mode,
+        cap=cap, S=S, book=book, bits=bits, mode=mode, use_pen=use_pen,
     )
     operands = [
         jnp.append(jnp.asarray(starts_al, jnp.int32), 0),

@@ -1,0 +1,127 @@
+"""CAGRA at 1M x 128, reference-default degrees (128 -> 64), packed
+layout, itopk ladder + bitset-prefiltered row (BASELINE config 4 shape).
+
+Records the visited-ring + reference-degree recall ladder. GIST-1M-shape
+run: set DIM=960 N_ROWS=1000000.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.jax_cache"))
+
+import numpy as np
+
+N = int(os.environ.get("N_ROWS", 1_000_000))
+D = int(os.environ.get("DIM", 128))
+NQ = int(os.environ.get("NQ", 4096))
+K = 10
+IGD = int(os.environ.get("IGD", 128))
+GD = int(os.environ.get("GD", 64))
+FILTER_KEEP = float(os.environ.get("FILTER_KEEP", 0.9))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from cuvs_tpu.neighbors import brute_force, cagra, filters, refine
+
+    print(f"# {jax.devices()} n={N} d={D} igd={IGD}->{GD}", file=sys.stderr,
+          flush=True)
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    r = D // 4
+    proj = jax.random.normal(k1, (r, D), jnp.float32) / np.sqrt(r)
+    x = (jax.random.normal(k2, (N, r), jnp.float32) @ proj
+         + 0.05 * jax.random.normal(k3, (N, D), jnp.float32))
+    q = (jax.random.normal(k4, (NQ, r), jnp.float32) @ proj
+         + 0.05 * jax.random.normal(jax.random.PRNGKey(9), (NQ, D),
+                                    jnp.float32))
+    x = jax.block_until_ready(x)
+
+    bf = brute_force.build(x)
+    _, gti = brute_force.search(bf, q, K, fused=True,
+                                compute_dtype=jnp.bfloat16,
+                                recall_target=0.97)
+    gti = np.asarray(gti)
+    print("# approx-exact ground truth ready", file=sys.stderr, flush=True)
+
+    t0 = time.time()
+    index = cagra.build(
+        x, intermediate_graph_degree=IGD, graph_degree=GD,
+        build_algo="auto", build_compute_dtype=jnp.bfloat16,
+        build_recall_target=0.97, seed=0,
+    )
+    jax.block_until_ready(index.graph)
+    print(f"build: {time.time()-t0:.0f}s", flush=True)
+
+    t0 = time.time()
+    packed = cagra.pack(index)
+    jax.block_until_ready(packed.child_vecs)
+    print(f"pack: {time.time()-t0:.0f}s", flush=True)
+
+    def recall(i, gt=gti):
+        return float(np.mean([
+            len(set(a.tolist()) & set(b.tolist())) / gt.shape[1]
+            for a, b in zip(np.asarray(i), gt)
+        ]))
+
+    def bench(label, fn, rec_fn=recall):
+        _, di = fn()
+        rec = rec_fn(np.asarray(di))
+        t0 = time.time()
+        reps = 5
+        for _ in range(reps):
+            out = fn()
+        jax.block_until_ready(out[0])
+        qps = NQ * reps / (time.time() - t0)
+        print(f"{label}: recall@10={rec:.4f} qps={qps:.0f}", flush=True)
+        return rec
+
+    for idx, tag in ((packed, "packed"), (index, "std")):
+        for itopk, w in ((64, 2), (128, 2), (192, 2), (256, 2)):
+            kw = dict(itopk_size=itopk, search_width=w, query_chunk=NQ,
+                      compute_dtype=jnp.bfloat16)
+            rec = bench(f"cagra_{tag}_itopk{itopk}_w{w}",
+                        lambda: cagra.search(idx, q, K, **kw))
+            if rec >= 0.97:
+                break
+        if tag == "packed":
+            # refine row: wide candidates + exact bf16 re-rank
+            kw = dict(itopk_size=128, search_width=2, query_chunk=NQ,
+                      compute_dtype=jnp.bfloat16)
+
+            def refined():
+                _, cand = cagra.search(idx, q, 40, **kw)
+                return refine.refine(x, q, cand, K,
+                                     compute_dtype=jnp.bfloat16)
+
+            bench("cagra_packed_itopk128_refine", refined)
+
+    # bitset-prefiltered row (BASELINE config 4: prefiltered queries)
+    keep = np.random.default_rng(0).random(N) < FILTER_KEEP
+    flt = filters.from_mask(jnp.asarray(keep))
+    # filtered ground truth: exact over kept rows only
+    kept_ids = np.nonzero(keep)[0]
+    xk = x[jnp.asarray(kept_ids)]
+    bfk = brute_force.build(xk)
+    _, gtik = brute_force.search(bfk, q, K, fused=True,
+                                 compute_dtype=jnp.bfloat16,
+                                 recall_target=0.97)
+    gtik = kept_ids[np.asarray(gtik)]
+    print("# filtered ground truth ready", file=sys.stderr, flush=True)
+
+    kw = dict(itopk_size=128, search_width=2, query_chunk=NQ,
+              compute_dtype=jnp.bfloat16)
+    bench(f"cagra_packed_itopk128_filtered{FILTER_KEEP}",
+          lambda: cagra.search(packed, q, K, prefilter=flt, **kw),
+          rec_fn=lambda i: recall(i, gtik))
+
+
+if __name__ == "__main__":
+    main()

@@ -140,6 +140,64 @@ class TestFusedScan:
         rec, _, _ = self._run("sqeuclidean", storage_dtype=np.int8)
         assert rec >= 0.9, rec
 
+    def _run_filtered(self, metric, kind, storage_dtype=None, n=6000, d=48,
+                      nq=64, k=10, keep_frac=0.7):
+        """Prefiltered search THROUGH the fused path vs naive filtered GT."""
+        import jax.numpy as jnp
+        from cuvs_tpu.neighbors import filters, ivf_flat
+        from tests.utils import naive_knn, calc_recall
+
+        rng = np.random.default_rng(11)
+        x = make_blobs(rng, n, d)
+        q = make_blobs(rng, nq, d)
+        idx = ivf_flat.build(x, n_lists=32, seed=0, metric=metric,
+                             storage_dtype=storage_dtype)
+        if kind == "bitset":
+            keep = rng.random(n) < keep_frac
+            flt = filters.from_mask(jnp.asarray(keep))
+            keep2 = np.broadcast_to(keep, (nq, n))
+        elif kind == "bitmap":
+            keep2 = rng.random((nq, n)) < keep_frac
+            flt = filters.from_mask(jnp.asarray(keep2))
+        else:  # udf: drop every 3rd row
+            flt = filters.udf_filter(lambda qid, sid: sid % 3 != 0)
+            keep2 = np.broadcast_to(np.arange(n) % 3 != 0, (nq, n))
+        sp = ivf_flat.SearchParams(n_probes=32, scan_algo="fused")
+        dv, di = ivf_flat.search(idx, q, k, sp, prefilter=flt)
+        di, dv = np.asarray(di), np.asarray(dv)
+        # per-query filtered ground truth
+        recs = []
+        for qi in range(nq):
+            ids = np.nonzero(keep2[qi])[0]
+            gtd, gtl = naive_knn(q[qi : qi + 1], x[ids], k, metric=metric)
+            recs.append(calc_recall(di[qi : qi + 1], ids[gtl],
+                                    dv[qi : qi + 1], gtd))
+            assert keep2[qi][di[qi]].all() or not np.isfinite(dv[qi]).all()
+        return float(np.mean(recs))
+
+    def test_bitset_filter_l2(self):
+        # exact semantics: the filter rides the kernel's penalty array
+        assert self._run_filtered("sqeuclidean", "bitset") >= 0.99
+
+    def test_bitset_filter_ip(self):
+        assert self._run_filtered("inner_product", "bitset") >= 0.99
+
+    def test_bitset_filter_int8(self):
+        assert self._run_filtered("sqeuclidean", "bitset",
+                                  storage_dtype=np.int8) >= 0.9
+
+    def test_bitset_filter_dense(self):
+        # heavy filtering (keep 10%): penalty-fold semantics stay exact
+        assert self._run_filtered("sqeuclidean", "bitset",
+                                  keep_frac=0.1) >= 0.95
+
+    def test_bitmap_filter(self):
+        # per-query masks ride the post-scan overfetch pass
+        assert self._run_filtered("sqeuclidean", "bitmap") >= 0.95
+
+    def test_udf_filter(self):
+        assert self._run_filtered("sqeuclidean", "udf") >= 0.95
+
     def test_matches_unfused_tiled(self):
         import jax.numpy as jnp
         from cuvs_tpu.neighbors import ivf_flat
@@ -248,6 +306,45 @@ class TestFusedPQScan:
         rec = calc_recall(np.asarray(di), gti, np.asarray(dv), gtd)
         assert rec >= 0.95, rec
 
+    @pytest.mark.parametrize("metric", ["sqeuclidean", "inner_product"])
+    def test_bitset_filter(self, metric):
+        """Bitset filter folds into the fused PQ kernel's penalty channel
+        (use_pen for IP): results must never contain filtered-out ids and
+        must agree with the unfused filtered scan."""
+        import jax.numpy as jnp
+        from cuvs_tpu.neighbors import filters, ivf_pq
+
+        idx, x, q = self._build(metric=metric)
+        rng = np.random.default_rng(5)
+        keep = rng.random(x.shape[0]) < 0.7
+        flt = filters.from_mask(jnp.asarray(keep))
+        df, i_f = ivf_pq.search(
+            idx, q, 10, ivf_pq.SearchParams(n_probes=32, scan_algo="fused"),
+            prefilter=flt)
+        i_f, df = np.asarray(i_f), np.asarray(df)
+        assert keep[i_f].all() or not np.isfinite(df).all()
+        dc, i_c = ivf_pq.search(
+            idx, q, 10,
+            ivf_pq.SearchParams(n_probes=32, scan_algo="cluster_major"),
+            prefilter=flt)
+        assert self._agree(i_f, i_c, 10) >= 0.9
+
+    def test_bitmap_filter(self):
+        """Per-query bitmap rides the post-scan overfetch pass."""
+        import jax.numpy as jnp
+        from cuvs_tpu.neighbors import filters, ivf_pq
+
+        idx, x, q = self._build()
+        rng = np.random.default_rng(6)
+        keep = rng.random((q.shape[0], x.shape[0])) < 0.7
+        flt = filters.from_mask(jnp.asarray(keep))
+        df, i_f = ivf_pq.search(
+            idx, q, 10, ivf_pq.SearchParams(n_probes=32, scan_algo="fused"),
+            prefilter=flt)
+        i_f = np.asarray(i_f)
+        ok = np.isfinite(np.asarray(df))
+        assert keep[np.arange(q.shape[0])[:, None], i_f][ok].all()
+
 
 class TestFusedRaBitQScan:
     """Fused RaBitQ scan (interpret mode on CPU): in-VMEM bit-extract
@@ -292,3 +389,35 @@ class TestFusedRaBitQScan:
     def test_inner_product(self):
         agree, _, _ = self._run(metric="inner_product")
         assert agree >= 0.9, agree
+
+    @pytest.mark.parametrize("metric", ["sqeuclidean", "inner_product"])
+    def test_bitset_filter(self, metric):
+        """Bitset filter folds into fa: filtered rows never returned."""
+        import jax.numpy as jnp
+        from cuvs_tpu.neighbors import filters, ivf_rabitq
+
+        rng = np.random.default_rng(17)
+        x = make_blobs(rng, 4000, 32)
+        q = make_blobs(rng, 64, 32)
+        idx = ivf_rabitq.build(x, n_lists=16, bits_per_dim=3, seed=0,
+                               metric=metric)
+        keep = rng.random(x.shape[0]) < 0.6
+        flt = filters.from_mask(jnp.asarray(keep))
+        df, i_f = ivf_rabitq.search(
+            idx, q, 10,
+            ivf_rabitq.SearchParams(n_probes=16, scan_algo="fused"),
+            prefilter=flt)
+        i_f = np.asarray(i_f)
+        ok = np.isfinite(np.asarray(df)) if metric != "inner_product" \
+            else np.isfinite(np.asarray(df)) & (np.asarray(df) != -np.inf)
+        assert keep[i_f][ok].all()
+        dq, i_q = ivf_rabitq.search(
+            idx, q, 10,
+            ivf_rabitq.SearchParams(n_probes=16, scan_algo="query_major",
+                                    compute_dtype=np.float32),
+            prefilter=flt)
+        agree = np.mean([
+            len(set(a.tolist()) & set(b.tolist())) / 10
+            for a, b in zip(i_f, np.asarray(i_q))
+        ])
+        assert agree >= 0.85, agree
