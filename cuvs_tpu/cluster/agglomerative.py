@@ -15,11 +15,73 @@ work (scipy csgraph), same division of labor as GPU HDBSCAN pipelines.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional, Tuple
 
 import numpy as np
 
 from cuvs_tpu.neighbors import knn_graph as kg
+
+
+@functools.partial(__import__("jax").jit, static_argnames=("n",))
+def _boruvka_forest(u, v, w, n: int):
+    """Borůvka minimum-spanning-forest over an edge list, on device.
+
+    The cuSLINK MST analog (cpp/src/cluster/detail/mst.cuh): each round
+    every component picks its minimum outgoing edge under the strict
+    total order (weight, undirected edge id), unions merge via pointer
+    jumping. Strict keys + symmetric adjacency guarantee the picked-edge
+    functional graph has only 2-cycles, broken by the min-root rule.
+    Returns a bool mask over the ORIGINAL (pre-symmetrized) edges.
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    nE = u.shape[0]
+    # symmetrize: reverse copies share the undirected id (eidx % nE)
+    us = jnp.concatenate([u, v])
+    vs = jnp.concatenate([v, u])
+    ws = jnp.concatenate([w, w])
+    uid = jnp.concatenate([jnp.arange(nE, dtype=jnp.int32)] * 2)
+    INF = jnp.float32(jnp.inf)
+    BIG = jnp.int32(2147483647)
+    iota_n = jnp.arange(n, dtype=jnp.int32)
+    jumps = max(1, int(np.ceil(np.log2(max(n, 2)))))
+
+    def cond(st):
+        _, _, changed = st
+        return changed
+
+    def body(st):
+        comp, chosen, _ = st
+        cu, cv = comp[us], comp[vs]
+        valid = cu != cv
+        wv = jnp.where(valid, ws, INF)
+        wmin = jnp.full((n,), INF, jnp.float32).at[cu].min(wv)
+        elig = jnp.logical_and(valid, wv <= wmin[cu])
+        eid = jnp.where(elig, uid, BIG)
+        pick = jnp.full((n,), BIG, jnp.int32).at[cu].min(eid)
+        has = pick < BIG
+        chosen = chosen.at[jnp.where(has, pick, 0)].max(has)
+        # union roots along picked edges (comp labels ARE roots here).
+        # Each root slot links ITSELF to the edge's other endpoint —
+        # elementwise, no scatter collisions even when the root picked
+        # the reversed copy of the edge
+        safe = jnp.where(has, pick, 0)
+        other = comp[u[safe]] + comp[v[safe]] - iota_n
+        parent = jnp.where(has, other, iota_n)
+        # 2-cycle break: mutual pairs keep the smaller id as root
+        pp = parent[parent]
+        parent = jnp.where(
+            jnp.logical_and(pp == iota_n, iota_n < parent), iota_n, parent)
+        for _ in range(jumps):  # full path compression
+            parent = parent[parent]
+        return parent[comp], chosen, jnp.any(has)
+
+    comp0 = iota_n
+    chosen0 = jnp.zeros((nE,), bool)
+    _, chosen, _ = lax.while_loop(cond, body, (comp0, chosen0, jnp.bool_(True)))
+    return chosen
 
 
 @dataclasses.dataclass
@@ -33,19 +95,27 @@ class SingleLinkageOutput:
 
 
 def _mst_edges(x, n_neighbors: int, metric) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """MST over the knn connectivity graph, repaired to full connectivity."""
+    """MST over the knn connectivity graph, repaired to full connectivity.
+
+    The O(n·k) Borůvka forest runs on device (_boruvka_forest, the
+    cuSLINK mst.cuh analog); the host only sees the ≤ n-1 forest edges
+    plus repair edges — the scipy MST below is over that tiny graph, not
+    the full knn edge list.
+    """
+    import jax.numpy as jnp
     import scipy.sparse as sp
     import scipy.sparse.csgraph as csg
 
     n = x.shape[0]
     k = min(n_neighbors, n - 1)
     nbrs, dists = kg.build_knn_graph(x, k, metric=metric)
-    nbrs = np.asarray(nbrs)
-    dists = np.asarray(dists)
-    rows = np.repeat(np.arange(n), k)
-    graph = sp.csr_matrix(
-        (np.maximum(dists.ravel(), 1e-30), (rows, nbrs.ravel())), shape=(n, n)
-    )
+    u = jnp.repeat(jnp.arange(n, dtype=jnp.int32), k)
+    v = jnp.asarray(nbrs, jnp.int32).reshape(-1)
+    w = jnp.maximum(jnp.asarray(dists, jnp.float32).reshape(-1), 1e-30)
+    mask = np.asarray(_boruvka_forest(u, v, w, n))
+    fu, fv, fw = (np.asarray(u)[mask], np.asarray(v)[mask],
+                  np.asarray(w)[mask])
+    graph = sp.csr_matrix((fw, (fu, fv)), shape=(n, n))
     graph = graph.maximum(graph.T)
 
     # repair connectivity: add the nearest cross-component edge per round

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import threading
 from typing import Any, Optional, Tuple
 
 import flax.struct
@@ -433,6 +434,7 @@ def _local_search(module, index, queries, k, prefilter, search_kw):
 
 
 _rr_counter = [0]  # ROUND_ROBIN batch counter (snmg.cuh:639 atomic counter)
+_rr_lock = threading.Lock()  # concurrent searchers tick it atomically
 
 
 def search(
@@ -467,8 +469,10 @@ def search(
         if routing == "round_robin":
             # whole batch to one device per call (snmg.cuh:633-650); the
             # replica is already resident there, so device_put is local
-            dev = mesh.devices.reshape(-1)[_rr_counter[0] % n_dev]
-            _rr_counter[0] += 1
+            with _rr_lock:
+                tick = _rr_counter[0]
+                _rr_counter[0] += 1
+            dev = mesh.devices.reshape(-1)[tick % n_dev]
             index_local = jax.tree.map(lambda a: jax.device_put(a, dev), index)
             q_local = jax.device_put(queries, dev)
             return _local_search(module, index_local, q_local, k, prefilter, search_kw)

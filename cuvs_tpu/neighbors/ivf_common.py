@@ -128,8 +128,14 @@ def coarse_search(
 
     GEMM + select_k, mirroring ivf_flat_search.cuh:148-187. For the L2
     family the ranking only needs center norms (query norm is constant per
-    row); cosine ranks by normalized dot.
+    row); cosine ranks by normalized dot. A callable ``metric`` (the
+    metric-UDF analog of ivf_flat.hpp:80) scores queries vs centers
+    directly and selects min.
     """
+    if callable(metric) and not isinstance(metric, DistanceType):
+        score = jnp.asarray(metric(queries_f32, centers), jnp.float32)
+        _, probe_ids = select_k(score, n_probes, select_min=True)
+        return probe_ids
     dots = pairwise._gemm(queries_f32, centers, compute_dtype)
     if metric == DistanceType.InnerProduct:
         score = dots

@@ -72,6 +72,11 @@ class SearchParams:
     # the ivf_flat_interleaved_scan analog). auto picks fused on TPU for
     # large unfiltered L2/IP batches, cluster_major otherwise.
     scan_algo: str = "auto"
+    # search-time metric UDF (ivf_flat.hpp:80 metric_udf analog): a
+    # jax-traceable fn(x [m,d], y [n,d]) -> [m,n] distances (min = close)
+    # traced into the coarse search and the list scans — the JIT-LTO
+    # analog is jax tracing itself. Excludes the fused Pallas path.
+    metric_udf: object = None
 
 
 @flax.struct.dataclass
@@ -512,8 +517,11 @@ def _search_impl(
     qf = jnp.asarray(queries, jnp.float32)
     probe_ids = ivf.coarse_search(qf, centers, center_norms, n_probes, metric, compute_dtype)
 
-    min_close = metric != DistanceType.InnerProduct
-    if metric == DistanceType.CosineExpanded:
+    is_udf = callable(metric) and not isinstance(metric, DistanceType)
+    min_close = is_udf or metric != DistanceType.InnerProduct
+    if is_udf:
+        qnorm = jnp.zeros((nq,), jnp.float32)
+    elif metric == DistanceType.CosineExpanded:
         qnorm = jnp.sqrt(jnp.sum(qf * qf, axis=1))
     elif metric == DistanceType.InnerProduct:
         qnorm = jnp.zeros((nq,), jnp.float32)
@@ -539,7 +547,16 @@ def _search_impl(
         lab_w = ivf.window_gather(lists.labels, starts, window)
         norm_w = ivf.window_gather(sorted_norms, starts, window)
 
-        if scale2 is not None:
+        if is_udf:
+            # metric UDF: per-query fn(q [1,d], rows [W,d]) -> [1,W],
+            # vmapped over the batch; quantized storage is dequantized
+            data_f = data_w[..., :d].astype(jnp.float32)
+            if q_scale is not None:
+                data_f = data_f * q_scale
+            dist = jax.vmap(lambda qq, yy: metric(qq[None, :], yy)[0])(
+                qf, data_f)
+            order = jnp.asarray(dist, jnp.float32)
+        elif scale2 is not None:
             dots = lax.dot_general(
                 qc[:, None, :], data_w, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.int32,
@@ -553,7 +570,9 @@ def _search_impl(
                 precision=pairwise.matmul_precision(compute_dtype),
             )[:, 0, :]  # [nq, W]
 
-        if metric == DistanceType.InnerProduct:
+        if is_udf:
+            pass
+        elif metric == DistanceType.InnerProduct:
             dist = dots
             order = -dots
         elif metric == DistanceType.CosineExpanded:
@@ -612,6 +631,15 @@ def search(
     nq = queries.shape[0]
     algo = params.scan_algo
     traced_ctx = isinstance(queries, jax.core.Tracer)
+    metric = index.metric
+    if params.metric_udf is not None:
+        # search-time metric UDF: traced into the unfused scans; the
+        # fused Pallas kernel only supports L2/IP epilogues
+        metric = params.metric_udf
+        if algo in ("auto", "fused"):
+            algo = ("cluster_major"
+                    if nq * n_probes >= 4 * index.n_lists and not traced_ctx
+                    else "query_major")
     if algo == "auto":
         # cluster-major sizes its slot axis with a host-side sync, so it is
         # unavailable under an outer trace (e.g. mg shard_map)
@@ -620,7 +648,7 @@ def search(
                 "fused"
                 if (
                     jax.default_backend() == "tpu"
-                    and index.metric in (
+                    and metric in (
                         DistanceType.L2Expanded,
                         DistanceType.L2SqrtExpanded,
                         DistanceType.InnerProduct,
@@ -630,7 +658,7 @@ def search(
             )
         else:
             algo = "query_major"
-    if algo == "fused" and index.metric not in (
+    if algo == "fused" and metric not in (
         DistanceType.L2Expanded,
         DistanceType.L2SqrtExpanded,
         DistanceType.InnerProduct,
@@ -641,7 +669,7 @@ def search(
 
         qf = jnp.asarray(queries, jnp.float32)
         probe_ids = ivf.coarse_search(
-            qf, index.centers, index.center_norms, n_probes, index.metric,
+            qf, index.centers, index.center_norms, n_probes, metric,
             params.compute_dtype,
         )
         M = int(min(128, max(8, nq)))
@@ -656,7 +684,7 @@ def search(
             qf,
             probe_ids,
             int(k),
-            index.metric,
+            metric,
             index.window,
             M,
             params.compute_dtype,
@@ -672,7 +700,7 @@ def search(
 
         qf = jnp.asarray(queries, jnp.float32)
         probe_ids = ivf.coarse_search(
-            qf, index.centers, index.center_norms, n_probes, index.metric,
+            qf, index.centers, index.center_norms, n_probes, metric,
             params.compute_dtype,
         )
         # fixed-width pair tiles: padding bounded by one partial tile per
@@ -689,7 +717,7 @@ def search(
             probe_ids,
             prefilter,
             int(k),
-            index.metric,
+            metric,
             index.window,
             M,
             int(chunk),
@@ -708,7 +736,7 @@ def search(
         prefilter,
         int(k),
         int(n_probes),
-        index.metric,
+        metric,
         index.window,
         index.n_rows,
         params.compute_dtype,

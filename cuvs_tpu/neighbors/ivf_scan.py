@@ -315,6 +315,7 @@ def cluster_major_scan_tiled(
     p = probe_ids.shape[1]
     n_lists = lists.offsets.shape[0]
     M = m_tile
+    is_udf = callable(metric) and not isinstance(metric, DistanceType)
     ip = metric == DistanceType.InnerProduct
     cosine = metric == DistanceType.CosineExpanded
     dp = sorted_data.shape[1]
@@ -353,7 +354,15 @@ def cluster_major_scan_tiled(
 
         safe_q = jnp.maximum(qi, 0)
         qs = qc_all[safe_q]  # [C, M, d]
-        if scale2 is not None:
+        if is_udf:
+            # metric UDF: fn(q [M,d], rows [W,d]) -> [M,W], vmapped over
+            # the cluster-tile axis; quantized storage is dequantized
+            data_f = data_w[..., :d].astype(jnp.float32)
+            if q_scale is not None:
+                data_f = data_f * q_scale
+            order = jnp.asarray(
+                jax.vmap(metric)(queries_f32[safe_q], data_f), jnp.float32)
+        elif scale2 is not None:
             dots = lax.dot_general(
                 qs, data_w, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.int32,
@@ -367,7 +376,9 @@ def cluster_major_scan_tiled(
                 precision=pairwise.matmul_precision(compute_dtype),
             )  # [C, M, W]
 
-        if ip:
+        if is_udf:
+            pass
+        elif ip:
             order = -dots
         elif cosine:
             denom = jnp.maximum(

@@ -62,6 +62,35 @@ def test_kde():
         assert hi > lo, kern
 
 
+def test_boruvka_forest_matches_scipy_mst():
+    """Device Borůvka (mst.cuh analog) must produce a spanning forest of
+    the same total weight as scipy's MST over the symmetrized edge list."""
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+    import scipy.sparse.csgraph as csg
+
+    from cuvs_tpu.cluster.agglomerative import _boruvka_forest
+
+    rng = np.random.default_rng(3)
+    n, k = 500, 8
+    x = rng.standard_normal((n, 3)).astype(np.float32)
+    d = ((x[:, None, :] - x[None, :, :]) ** 2).sum(2)
+    np.fill_diagonal(d, np.inf)
+    nbrs = np.argsort(d, axis=1)[:, :k]
+    w = np.take_along_axis(d, nbrs, axis=1)
+    u = np.repeat(np.arange(n, dtype=np.int32), k)
+    mask = np.asarray(_boruvka_forest(
+        jnp.asarray(u), jnp.asarray(nbrs.reshape(-1), jnp.int32),
+        jnp.asarray(w.reshape(-1), jnp.float32), n))
+    got = float(w.reshape(-1)[mask].sum())
+    g = sp.csr_matrix((w.reshape(-1), (u, nbrs.reshape(-1))), shape=(n, n))
+    g = g.maximum(g.T)
+    ncomp, _ = csg.connected_components(g, directed=False)
+    exp = float(csg.minimum_spanning_tree(g).sum())
+    assert mask.sum() == n - ncomp, (mask.sum(), n, ncomp)
+    np.testing.assert_allclose(got, exp, rtol=1e-5)
+
+
 def test_single_linkage():
     from cuvs_tpu.cluster.agglomerative import single_linkage
 

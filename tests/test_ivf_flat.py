@@ -45,6 +45,34 @@ def test_probe_monotonicity():
     assert recalls[-1] > 0.999
 
 
+def test_metric_udf():
+    """Search-time metric UDF (ivf_flat.hpp:80 metric_udf analog): an L1
+    callable traced into coarse search + both unfused scans must match
+    naive L1 ground truth over the probed lists."""
+    import jax.numpy as jnp
+    from tests.utils import naive_knn, calc_recall
+
+    rng = np.random.default_rng(23)
+    x = rng.standard_normal((4000, 24)).astype(np.float32)
+    q = rng.standard_normal((48, 24)).astype(np.float32)
+    idx = ivf_flat.build(x, n_lists=16, seed=0)
+
+    def l1(a, b):
+        return jnp.sum(jnp.abs(a[:, None, :] - b[None, :, :]), axis=2)
+
+    d_l1 = np.abs(q[:, None, :] - x[None, :, :]).sum(2)
+    gti = np.argsort(d_l1, axis=1)[:, :10]
+    gtd = np.take_along_axis(d_l1, gti, axis=1)
+    for algo in ("cluster_major", "query_major"):
+        d, i = ivf_flat.search(idx, q, 10, n_probes=16, scan_algo=algo,
+                               metric_udf=l1)
+        rec = calc_recall(np.asarray(i), gti, np.asarray(d), gtd)
+        assert rec >= 0.99, (algo, rec)
+        np.testing.assert_allclose(
+            np.sort(np.asarray(d), 1)[:, :3], np.sort(gtd, 1)[:, :3],
+            rtol=1e-3, atol=1e-3)
+
+
 def test_prefilter():
     x, q = _data(5000, 16, 20)
     keep = RNG.random(5000) > 0.5
