@@ -214,6 +214,168 @@ int main(void) {
   CHECK(cuvsTpuMgDestroy(mgi));
   CHECK(cuvsTpuMgDestroy(mg2));
 
+  /* ---- round-4 surface: filters, vamana, knn-graph, refine, tiered,
+   * hnsw (reference c/include/cuvs/neighbors/{vamana,nn_descent,
+   * all_neighbors,refine,tiered_index,hnsw}.h parity) ---- */
+  {
+    int64_t dshape[2] = {n, d};
+    int64_t qshape[2] = {nq, d};
+    int64_t oshape[2] = {nq, k};
+    DLManagedTensor dset = {{data, {kDLCPU, 0}, 2, {kDLFloat, 32, 1},
+                             dshape, NULL, 0}, NULL, NULL};
+    DLManagedTensor dq = {{queries, {kDLCPU, 0}, 2, {kDLFloat, 32, 1},
+                           qshape, NULL, 0}, NULL, NULL};
+    DLManagedTensor dout = {{out_d, {kDLCPU, 0}, 2, {kDLFloat, 32, 1},
+                             oshape, NULL, 0}, NULL, NULL};
+    DLManagedTensor iout = {{out_i, {kDLCPU, 0}, 2, {kDLInt, 32, 1},
+                             oshape, NULL, 0}, NULL, NULL};
+
+    /* filtered search: bitset masking out the even rows => every returned
+     * id must be odd */
+    int64_t n_words = (n + 31) / 32;
+    uint32_t* words = malloc(n_words * sizeof(uint32_t));
+    for (int64_t w = 0; w < n_words; ++w) words[w] = 0xAAAAAAAAu; /* odd bits */
+    cuvsTpuIndex_t bf2;
+    CHECK(cuvsTpuIndexBuildDL("brute_force", "sqeuclidean", NULL, &dset, &bf2));
+    cuvsTpuFilter_t flt = {CUVS_TPU_FILTER_BITSET, words, n_words};
+    CHECK(cuvsTpuIndexSearchFilteredDL(bf2, NULL, &dq, &flt, &dout, &iout));
+    for (int64_t q = 0; q < nq * k; ++q) {
+      if (out_i[q] >= 0 && out_i[q] % 2 == 0) {
+        fprintf(stderr, "FAIL filtered search returned masked id %d\n",
+                out_i[q]);
+        return 1;
+      }
+    }
+    printf("filtered search ok\n");
+    CHECK(cuvsTpuIndexDestroy(bf2));
+
+    /* vamana: build, search (self-nn), DiskANN-format serialize */
+    cuvsTpuVamanaIndexParams_t vp;
+    cuvsTpuVamanaIndexParamsDefault(&vp);
+    cuvsTpuIndex_t vix;
+    CHECK(cuvsTpuVamanaBuild(&vp, "sqeuclidean", &dset, &vix));
+    cuvsTpuVamanaSearchParams_t vsp;
+    cuvsTpuVamanaSearchParamsDefault(&vsp);
+    CHECK(cuvsTpuVamanaSearch(vix, &vsp, &dq, &dout, &iout));
+    int vhits = 0;
+    for (int64_t q = 0; q < nq; ++q) vhits += out_i[q * k] == (int32_t)q;
+    if (vhits < nq - 1) {
+      fprintf(stderr, "FAIL vamana self-nn: %d/%lld\n", vhits, (long long)nq);
+      return 1;
+    }
+    CHECK(cuvsTpuVamanaSerialize(vix, "/tmp/capi_vamana.bin"));
+    CHECK(cuvsTpuIndexDestroy(vix));
+    printf("vamana ok\n");
+
+    /* nn_descent + all_neighbors graph builds: neighbor 0 of row i != i
+     * never guaranteed, but graph ids must be in range */
+    const int64_t gk = 8;
+    int32_t* graph = malloc(n * gk * sizeof(int32_t));
+    float* gdist = malloc(n * gk * sizeof(float));
+    int64_t gshape[2] = {n, gk};
+    DLManagedTensor gout = {{graph, {kDLCPU, 0}, 2, {kDLInt, 32, 1},
+                             gshape, NULL, 0}, NULL, NULL};
+    DLManagedTensor gdout = {{gdist, {kDLCPU, 0}, 2, {kDLFloat, 32, 1},
+                              gshape, NULL, 0}, NULL, NULL};
+    cuvsTpuNnDescentParams_t np;
+    cuvsTpuNnDescentParamsDefault(&np);
+    np.graph_degree = gk;
+    np.max_iterations = 4;
+    CHECK(cuvsTpuNnDescentBuild(&np, "sqeuclidean", &dset, &gout, &gdout));
+    for (int64_t i = 0; i < n * gk; ++i) {
+      if (graph[i] < 0 || graph[i] >= n) {
+        fprintf(stderr, "FAIL nn_descent graph id out of range\n");
+        return 1;
+      }
+    }
+    cuvsTpuAllNeighborsParams_t ap;
+    cuvsTpuAllNeighborsParamsDefault(&ap);
+    ap.algo = "brute_force";
+    CHECK(cuvsTpuAllNeighborsBuild(&ap, "sqeuclidean", gk, &dset, &gout, NULL));
+    printf("knn-graph builders ok\n");
+
+    /* refine: re-rank the graph rows of the first nq points; with queries
+     * = first rows and self in no candidate list, best must be a graph
+     * neighbor; instead make candidates = [q, junk...] so self wins */
+    int32_t* cand = malloc(nq * gk * sizeof(int32_t));
+    for (int64_t q = 0; q < nq; ++q)
+      for (int64_t j = 0; j < gk; ++j)
+        cand[q * gk + j] = j == 0 ? (int32_t)q : (int32_t)(n - 1 - j);
+    int64_t cshape[2] = {nq, gk};
+    DLManagedTensor cin = {{cand, {kDLCPU, 0}, 2, {kDLInt, 32, 1},
+                            cshape, NULL, 0}, NULL, NULL};
+    CHECK(cuvsTpuRefine("sqeuclidean", &dset, &dq, &cin, k, &dout, &iout));
+    for (int64_t q = 0; q < nq; ++q) {
+      if (out_i[q * k] != (int32_t)q) {
+        fprintf(stderr, "FAIL refine self-nn: q=%lld id=%d\n", (long long)q,
+                out_i[q * k]);
+        return 1;
+      }
+    }
+    printf("refine ok\n");
+
+    /* tiered: small min_ann_rows forces the ANN tier; compact must keep
+     * search results valid */
+    cuvsTpuTieredIndexParams_t tp;
+    cuvsTpuTieredIndexParamsDefault(&tp);
+    tp.upstream_algo = "ivf_flat";
+    tp.upstream_params_json = "{\"n_lists\": 8}";
+    tp.min_ann_rows = 512;
+    cuvsTpuIndex_t tix;
+    CHECK(cuvsTpuTieredBuild(&tp, "sqeuclidean", &dset, &tix));
+    CHECK(cuvsTpuIndexSearchDL(tix, "{\"n_probes\": 8}", &dq, &dout, &iout));
+    for (int64_t q = 0; q < nq; ++q) {
+      if (out_i[q * k] != (int32_t)q) {
+        fprintf(stderr, "FAIL tiered self-nn\n");
+        return 1;
+      }
+    }
+    CHECK(cuvsTpuTieredCompact(tix));
+    CHECK(cuvsTpuIndexSearchDL(tix, "{\"n_probes\": 8}", &dq, &dout, &iout));
+    for (int64_t q = 0; q < nq; ++q) {
+      if (out_i[q * k] != (int32_t)q) {
+        fprintf(stderr, "FAIL tiered post-compact self-nn\n");
+        return 1;
+      }
+    }
+    CHECK(cuvsTpuIndexDestroy(tix));
+    printf("tiered ok\n");
+
+    /* hnsw: cagra -> hnswlib file -> load -> search */
+    cuvsTpuCagraIndexParams_t cp;
+    cuvsTpuCagraIndexParamsDefault(&cp);
+    cp.graph_degree = 16;
+    cp.intermediate_graph_degree = 32;
+    cuvsTpuIndex_t cix;
+    CHECK(cuvsTpuCagraBuild(&cp, "sqeuclidean", &dset, &cix));
+    cuvsTpuHnswParams_t hp;
+    cuvsTpuHnswParamsDefault(&hp);
+    CHECK(cuvsTpuHnswFromCagra(cix, &hp, "/tmp/capi_hnsw.bin"));
+    cuvsTpuIndex_t hix;
+    CHECK(cuvsTpuHnswLoad("/tmp/capi_hnsw.bin", "sqeuclidean", &hix));
+    cuvsTpuHnswSearchParams_t hsp;
+    cuvsTpuHnswSearchParamsDefault(&hsp);
+    CHECK(cuvsTpuHnswSearch(hix, &hsp, &dq, &dout, &iout));
+    int hhits = 0;
+    for (int64_t q = 0; q < nq; ++q) hhits += out_i[q * k] == (int32_t)q;
+    if (hhits < nq - 1) {
+      fprintf(stderr, "FAIL hnsw self-nn: %d/%lld\n", hhits, (long long)nq);
+      return 1;
+    }
+    CHECK(cuvsTpuIndexDestroy(cix));
+    CHECK(cuvsTpuIndexDestroy(hix));
+    printf("hnsw ok\n");
+
+    /* default helpers for the remaining param structs */
+    cuvsTpuMgIndexParams_t mp; cuvsTpuMgIndexParamsDefault(&mp);
+    cuvsTpuMgSearchParams_t msp; cuvsTpuMgSearchParamsDefault(&msp);
+    if (strcmp(mp.mode, "sharded") || strcmp(msp.routing, "load_balancer")) {
+      fprintf(stderr, "FAIL mg param defaults\n");
+      return 1;
+    }
+    free(words); free(graph); free(gdist); free(cand);
+  }
+
   printf("C API smoke test PASSED\n");
   return 0;
 }

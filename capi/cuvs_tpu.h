@@ -115,6 +115,34 @@ cuvsTpuError_t cuvsTpuIndexSearchDL(cuvsTpuIndex_t index,
                                     DLManagedTensor* out_distances,
                                     DLManagedTensor* out_neighbors);
 
+/* ---- Filters (reference cuvsFilter, c/include/cuvs/neighbors/common.h;
+ * semantics from cpp common.hpp:500-660). words is a packed little-endian
+ * uint32 bit array on the host: bit i set => dataset row i may be
+ * returned. BITSET is one shared row mask (n_words = ceil(n_rows/32));
+ * BITMAP is per-query (n_words = n_queries * ceil(n_rows/32), row-major
+ * [n_queries, ceil(n_rows/32)]). ---- */
+typedef enum {
+  CUVS_TPU_FILTER_NONE = 0,
+  CUVS_TPU_FILTER_BITSET = 1,
+  CUVS_TPU_FILTER_BITMAP = 2,
+} cuvsTpuFilterType_t;
+
+typedef struct {
+  cuvsTpuFilterType_t type;
+  const uint32_t* words;
+  int64_t n_words;
+} cuvsTpuFilter_t;
+
+/* Prefiltered search over any index handle (reference: every *Search C
+ * endpoint takes a cuvsFilter; here one filtered entry point serves all
+ * algos). filter may be NULL or type NONE for unfiltered. */
+cuvsTpuError_t cuvsTpuIndexSearchFilteredDL(cuvsTpuIndex_t index,
+                                            const char* params_json,
+                                            const DLManagedTensor* queries,
+                                            const cuvsTpuFilter_t* filter,
+                                            DLManagedTensor* out_distances,
+                                            DLManagedTensor* out_neighbors);
+
 /* ---- Per-algo parameter structs (index_params/search_params parity;
  * defaults match the reference headers — pass zero-initialized structs
  * through the *Default helpers first). ---- */
@@ -158,12 +186,71 @@ typedef struct {
   int64_t max_iterations; /* 0 = auto */
 } cuvsTpuCagraSearchParams_t;
 
+typedef struct {
+  int64_t graph_degree;  /* 32 (vamana.hpp:59-76) */
+  int64_t visited_size;  /* 64 */
+  double alpha;          /* 1.2 */
+  double max_fraction;   /* 0.06 */
+} cuvsTpuVamanaIndexParams_t;
+
+typedef struct {
+  int64_t itopk_size;   /* 64: served via the graph engine */
+  int64_t search_width; /* 1 */
+} cuvsTpuVamanaSearchParams_t;
+
+typedef struct {
+  int64_t graph_degree;              /* 64 (nn_descent.hpp:61-76) */
+  int64_t intermediate_graph_degree; /* 128 */
+  int64_t max_iterations;            /* 20 */
+  double termination_threshold;      /* 1e-4 */
+} cuvsTpuNnDescentParams_t;
+
+typedef struct {
+  const char* algo;       /* "auto" | "brute_force" | "nn_descent" | "ivf_pq" */
+  int64_t n_clusters;     /* 1 = single build (all_neighbors.hpp:61-90) */
+  int64_t overlap_factor; /* 2 */
+} cuvsTpuAllNeighborsParams_t;
+
+typedef struct {
+  const char* upstream_algo;        /* "cagra" | "ivf_flat" | "ivf_pq" */
+  const char* upstream_params_json; /* NULL = upstream defaults */
+  int64_t min_ann_rows;             /* 100000 (tiered_index.hpp:62) */
+} cuvsTpuTieredIndexParams_t;
+
+typedef struct {
+  const char* hierarchy;   /* "none" | "cpu" | "tpu" (hnsw.hpp:43-61) */
+  int64_t ef_construction; /* 200 */
+} cuvsTpuHnswParams_t;
+
+typedef struct {
+  int64_t ef; /* 64 (hnsw.hpp search_params) */
+} cuvsTpuHnswSearchParams_t;
+
+/* Multi-chip param structs (reference mg_common.h: cuvsMultiGpu*Params). */
+typedef struct {
+  const char* mode;              /* "sharded" | "replicated" (common.hpp:948) */
+  const char* distributed_build; /* "auto" | "on" | "off" */
+} cuvsTpuMgIndexParams_t;
+
+typedef struct {
+  const char* routing; /* "load_balancer" | "round_robin" (common.hpp:956) */
+} cuvsTpuMgSearchParams_t;
+
 void cuvsTpuIvfFlatIndexParamsDefault(cuvsTpuIvfFlatIndexParams_t* p);
 void cuvsTpuIvfFlatSearchParamsDefault(cuvsTpuIvfFlatSearchParams_t* p);
 void cuvsTpuIvfPqIndexParamsDefault(cuvsTpuIvfPqIndexParams_t* p);
 void cuvsTpuIvfPqSearchParamsDefault(cuvsTpuIvfPqSearchParams_t* p);
 void cuvsTpuCagraIndexParamsDefault(cuvsTpuCagraIndexParams_t* p);
 void cuvsTpuCagraSearchParamsDefault(cuvsTpuCagraSearchParams_t* p);
+void cuvsTpuVamanaIndexParamsDefault(cuvsTpuVamanaIndexParams_t* p);
+void cuvsTpuVamanaSearchParamsDefault(cuvsTpuVamanaSearchParams_t* p);
+void cuvsTpuNnDescentParamsDefault(cuvsTpuNnDescentParams_t* p);
+void cuvsTpuAllNeighborsParamsDefault(cuvsTpuAllNeighborsParams_t* p);
+void cuvsTpuTieredIndexParamsDefault(cuvsTpuTieredIndexParams_t* p);
+void cuvsTpuHnswParamsDefault(cuvsTpuHnswParams_t* p);
+void cuvsTpuHnswSearchParamsDefault(cuvsTpuHnswSearchParams_t* p);
+void cuvsTpuMgIndexParamsDefault(cuvsTpuMgIndexParams_t* p);
+void cuvsTpuMgSearchParamsDefault(cuvsTpuMgSearchParams_t* p);
 
 /* Typed per-algo build/search over DLPack tensors. */
 cuvsTpuError_t cuvsTpuIvfFlatBuild(const cuvsTpuIvfFlatIndexParams_t* params,
@@ -193,6 +280,67 @@ cuvsTpuError_t cuvsTpuCagraSearch(cuvsTpuIndex_t index,
                                   const DLManagedTensor* queries,
                                   DLManagedTensor* out_distances,
                                   DLManagedTensor* out_neighbors);
+
+/* ---- Vamana (reference c/include/cuvs/neighbors/vamana.h). The index
+ * serializes to the DiskANN on-disk format via cuvsTpuVamanaSerialize. */
+cuvsTpuError_t cuvsTpuVamanaBuild(const cuvsTpuVamanaIndexParams_t* params,
+                                  const char* metric,
+                                  const DLManagedTensor* dataset,
+                                  cuvsTpuIndex_t* out_index);
+cuvsTpuError_t cuvsTpuVamanaSearch(cuvsTpuIndex_t index,
+                                   const cuvsTpuVamanaSearchParams_t* params,
+                                   const DLManagedTensor* queries,
+                                   DLManagedTensor* out_distances,
+                                   DLManagedTensor* out_neighbors);
+cuvsTpuError_t cuvsTpuVamanaSerialize(cuvsTpuIndex_t index, const char* path);
+
+/* ---- k-NN graph builders (nn_descent.h / all_neighbors.h parity).
+ * out_graph: i32 [n_rows, graph_degree] (or [n_rows, k]); out_distances:
+ * f32 of the same shape, may be NULL. ---- */
+cuvsTpuError_t cuvsTpuNnDescentBuild(const cuvsTpuNnDescentParams_t* params,
+                                     const char* metric,
+                                     const DLManagedTensor* dataset,
+                                     DLManagedTensor* out_graph,
+                                     DLManagedTensor* out_distances);
+cuvsTpuError_t cuvsTpuAllNeighborsBuild(const cuvsTpuAllNeighborsParams_t* params,
+                                        const char* metric,
+                                        int64_t k,
+                                        const DLManagedTensor* dataset,
+                                        DLManagedTensor* out_graph,
+                                        DLManagedTensor* out_distances);
+
+/* ---- Exact re-rank of candidate lists (refine.h parity). candidates:
+ * i32 [n_queries, n_candidates] global ids (negative = invalid). ---- */
+cuvsTpuError_t cuvsTpuRefine(const char* metric,
+                             const DLManagedTensor* dataset,
+                             const DLManagedTensor* queries,
+                             const DLManagedTensor* candidates,
+                             int64_t k,
+                             DLManagedTensor* out_distances,
+                             DLManagedTensor* out_neighbors);
+
+/* ---- Tiered index (tiered_index.h parity): brute-force hot tier + ANN
+ * cold tier. Search/extend go through the generic handle entry points;
+ * Compact folds the BF tier into the ANN tier in place. ---- */
+cuvsTpuError_t cuvsTpuTieredBuild(const cuvsTpuTieredIndexParams_t* params,
+                                  const char* metric,
+                                  const DLManagedTensor* dataset,
+                                  cuvsTpuIndex_t* out_index);
+cuvsTpuError_t cuvsTpuTieredCompact(cuvsTpuIndex_t index);
+
+/* ---- HNSW interop (hnsw.h parity): CAGRA -> hnswlib-format file;
+ * loaded handles search through cuvsTpuHnswSearch (CPU path). ---- */
+cuvsTpuError_t cuvsTpuHnswFromCagra(cuvsTpuIndex_t cagra_index,
+                                    const cuvsTpuHnswParams_t* params,
+                                    const char* path);
+cuvsTpuError_t cuvsTpuHnswLoad(const char* path,
+                               const char* metric,
+                               cuvsTpuIndex_t* out_index);
+cuvsTpuError_t cuvsTpuHnswSearch(cuvsTpuIndex_t index,
+                                 const cuvsTpuHnswSearchParams_t* params,
+                                 const DLManagedTensor* queries,
+                                 DLManagedTensor* out_distances,
+                                 DLManagedTensor* out_neighbors);
 
 /* Append rows to an existing index (per-algo extend semantics). The
  * handle is updated in place. */

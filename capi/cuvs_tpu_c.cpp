@@ -269,6 +269,45 @@ cuvsTpuError_t cuvsTpuIndexSearchDL(cuvsTpuIndex_t index,
   return CUVS_TPU_SUCCESS;
 }
 
+cuvsTpuError_t cuvsTpuIndexSearchFilteredDL(cuvsTpuIndex_t index,
+                                            const char* params_json,
+                                            const DLManagedTensor* queries,
+                                            const cuvsTpuFilter_t* filter,
+                                            DLManagedTensor* out_distances,
+                                            DLManagedTensor* out_neighbors) {
+  if (!filter || filter->type == CUVS_TPU_FILTER_NONE)
+    return cuvsTpuIndexSearchDL(index, params_json, queries, out_distances,
+                                out_neighbors);
+  int64_t qr = 0, qc = 0, dr = 0, dk = 0, nr = 0, nk = 0;
+  const void* qdata = dl_check_2d(queries, "queries", &qr, &qc);
+  const void* ddata = dl_check_2d(out_distances, "out_distances", &dr, &dk);
+  const void* ndata = dl_check_2d(out_neighbors, "out_neighbors", &nr, &nk);
+  if (!qdata || !ddata || !ndata) return CUVS_TPU_ERROR;
+  const char* qt = dl_dtype_name(queries->dl_tensor.dtype);
+  if (!qt) { g_last_error = "queries: unsupported DLDataType"; return CUVS_TPU_ERROR; }
+  if (!filter->words || filter->n_words <= 0) {
+    g_last_error = "filter: null/empty words buffer"; return CUVS_TPU_ERROR;
+  }
+  if (filter->type == CUVS_TPU_FILTER_BITMAP && filter->n_words % qr != 0) {
+    g_last_error = "bitmap filter: n_words must be n_queries * words_per_row";
+    return CUVS_TPU_ERROR;
+  }
+  GIL gil;
+  PyObject* b = bridge();
+  if (!b || !index) { set_error_from_python(); return CUVS_TPU_ERROR; }
+  PyObject* r = PyObject_CallMethod(
+      b, "search_filtered", "OsKLLsLiKKKK", index->obj,
+      params_json ? params_json : "{}", (unsigned long long)(uintptr_t)qdata,
+      (long long)qr, (long long)qc, qt, (long long)dk, (int)filter->type,
+      (unsigned long long)(uintptr_t)filter->words,
+      (unsigned long long)filter->n_words,
+      (unsigned long long)(uintptr_t)ddata,
+      (unsigned long long)(uintptr_t)ndata);
+  if (!r) { set_error_from_python(); return CUVS_TPU_ERROR; }
+  Py_DECREF(r);
+  return CUVS_TPU_SUCCESS;
+}
+
 /* ---- per-algo param structs ---- */
 
 void cuvsTpuIvfFlatIndexParamsDefault(cuvsTpuIvfFlatIndexParams_t* p) {
@@ -304,6 +343,46 @@ void cuvsTpuCagraSearchParamsDefault(cuvsTpuCagraSearchParams_t* p) {
   p->itopk_size = 64;
   p->search_width = 1;
   p->max_iterations = 0;
+}
+void cuvsTpuVamanaIndexParamsDefault(cuvsTpuVamanaIndexParams_t* p) {
+  p->graph_degree = 32;
+  p->visited_size = 64;
+  p->alpha = 1.2;
+  p->max_fraction = 0.06;
+}
+void cuvsTpuVamanaSearchParamsDefault(cuvsTpuVamanaSearchParams_t* p) {
+  p->itopk_size = 64;
+  p->search_width = 1;
+}
+void cuvsTpuNnDescentParamsDefault(cuvsTpuNnDescentParams_t* p) {
+  p->graph_degree = 64;
+  p->intermediate_graph_degree = 128;
+  p->max_iterations = 20;
+  p->termination_threshold = 1e-4;
+}
+void cuvsTpuAllNeighborsParamsDefault(cuvsTpuAllNeighborsParams_t* p) {
+  p->algo = "auto";
+  p->n_clusters = 1;
+  p->overlap_factor = 2;
+}
+void cuvsTpuTieredIndexParamsDefault(cuvsTpuTieredIndexParams_t* p) {
+  p->upstream_algo = "cagra";
+  p->upstream_params_json = nullptr;
+  p->min_ann_rows = 100000;
+}
+void cuvsTpuHnswParamsDefault(cuvsTpuHnswParams_t* p) {
+  p->hierarchy = "none";
+  p->ef_construction = 200;
+}
+void cuvsTpuHnswSearchParamsDefault(cuvsTpuHnswSearchParams_t* p) {
+  p->ef = 64;
+}
+void cuvsTpuMgIndexParamsDefault(cuvsTpuMgIndexParams_t* p) {
+  p->mode = "sharded";
+  p->distributed_build = "auto";
+}
+void cuvsTpuMgSearchParamsDefault(cuvsTpuMgSearchParams_t* p) {
+  p->routing = "load_balancer";
 }
 
 cuvsTpuError_t cuvsTpuIvfFlatBuild(const cuvsTpuIvfFlatIndexParams_t* p,
@@ -397,6 +476,242 @@ cuvsTpuError_t cuvsTpuCagraSearch(cuvsTpuIndex_t index,
     std::snprintf(js, sizeof(js),
                   "{\"itopk_size\": %lld, \"search_width\": %lld}",
                   (long long)p->itopk_size, (long long)p->search_width);
+  return cuvsTpuIndexSearchDL(index, js, queries, out_distances, out_neighbors);
+}
+
+cuvsTpuError_t cuvsTpuVamanaBuild(const cuvsTpuVamanaIndexParams_t* p,
+                                  const char* metric,
+                                  const DLManagedTensor* dataset,
+                                  cuvsTpuIndex_t* out_index) {
+  char js[256];
+  std::snprintf(js, sizeof(js),
+                "{\"graph_degree\": %lld, \"visited_size\": %lld, "
+                "\"alpha\": %g, \"max_fraction\": %g}",
+                (long long)p->graph_degree, (long long)p->visited_size,
+                p->alpha, p->max_fraction);
+  return cuvsTpuIndexBuildDL("vamana", metric, js, dataset, out_index);
+}
+
+cuvsTpuError_t cuvsTpuVamanaSearch(cuvsTpuIndex_t index,
+                                   const cuvsTpuVamanaSearchParams_t* p,
+                                   const DLManagedTensor* queries,
+                                   DLManagedTensor* out_distances,
+                                   DLManagedTensor* out_neighbors) {
+  char js[160];
+  std::snprintf(js, sizeof(js),
+                "{\"itopk_size\": %lld, \"search_width\": %lld}",
+                (long long)p->itopk_size, (long long)p->search_width);
+  return cuvsTpuIndexSearchDL(index, js, queries, out_distances, out_neighbors);
+}
+
+cuvsTpuError_t cuvsTpuVamanaSerialize(cuvsTpuIndex_t index, const char* path) {
+  GIL gil;
+  PyObject* b = bridge();
+  if (!b || !index) { set_error_from_python(); return CUVS_TPU_ERROR; }
+  PyObject* r = PyObject_CallMethod(b, "vamana_serialize", "Os", index->obj, path);
+  if (!r) { set_error_from_python(); return CUVS_TPU_ERROR; }
+  Py_DECREF(r);
+  return CUVS_TPU_SUCCESS;
+}
+
+namespace {
+
+// shared body for the two k-NN-graph builders: validates outputs and
+// dispatches to the bridge's knn_graph entry
+cuvsTpuError_t knn_graph_build(const char* kind, const char* params_js,
+                               const char* metric, int64_t k,
+                               const DLManagedTensor* dataset,
+                               DLManagedTensor* out_graph,
+                               DLManagedTensor* out_distances) {
+  int64_t xr = 0, xc = 0, gr = 0, gk = 0;
+  const void* xdata = dl_check_2d(dataset, "dataset", &xr, &xc);
+  const void* gdata = dl_check_2d(out_graph, "out_graph", &gr, &gk);
+  if (!xdata || !gdata) return CUVS_TPU_ERROR;
+  const char* xt = dl_dtype_name(dataset->dl_tensor.dtype);
+  if (!xt) { g_last_error = "dataset: unsupported DLDataType"; return CUVS_TPU_ERROR; }
+  const DLDataType& gd = out_graph->dl_tensor.dtype;
+  if (!(gd.code == kDLInt && gd.bits == 32)) {
+    g_last_error = "out_graph must be int32"; return CUVS_TPU_ERROR;
+  }
+  if (gr != xr || (k > 0 && gk != k)) {
+    g_last_error = "out_graph must be [n_rows, k]"; return CUVS_TPU_ERROR;
+  }
+  uintptr_t dptr = 0;
+  if (out_distances) {
+    int64_t dr = 0, dk = 0;
+    const void* dd = dl_check_2d(out_distances, "out_distances", &dr, &dk);
+    if (!dd) return CUVS_TPU_ERROR;
+    const DLDataType& dt = out_distances->dl_tensor.dtype;
+    if (!(dt.code == kDLFloat && dt.bits == 32)) {
+      g_last_error = "out_distances must be float32"; return CUVS_TPU_ERROR;
+    }
+    if (dr != gr || dk != gk) {
+      g_last_error = "out_distances must match out_graph shape";
+      return CUVS_TPU_ERROR;
+    }
+    dptr = (uintptr_t)dd;
+  }
+  GIL gil;
+  PyObject* b = bridge();
+  if (!b) { set_error_from_python(); return CUVS_TPU_ERROR; }
+  PyObject* r = PyObject_CallMethod(
+      b, "knn_graph", "sssKLLsLKK", kind, metric ? metric : "sqeuclidean",
+      params_js, (unsigned long long)(uintptr_t)xdata, (long long)xr,
+      (long long)xc, xt, (long long)gk,
+      (unsigned long long)(uintptr_t)gdata, (unsigned long long)dptr);
+  if (!r) { set_error_from_python(); return CUVS_TPU_ERROR; }
+  Py_DECREF(r);
+  return CUVS_TPU_SUCCESS;
+}
+
+}  // namespace
+
+cuvsTpuError_t cuvsTpuNnDescentBuild(const cuvsTpuNnDescentParams_t* p,
+                                     const char* metric,
+                                     const DLManagedTensor* dataset,
+                                     DLManagedTensor* out_graph,
+                                     DLManagedTensor* out_distances) {
+  char js[256];
+  std::snprintf(js, sizeof(js),
+                "{\"graph_degree\": %lld, \"intermediate_graph_degree\": %lld, "
+                "\"max_iterations\": %lld, \"termination_threshold\": %g}",
+                (long long)p->graph_degree,
+                (long long)p->intermediate_graph_degree,
+                (long long)p->max_iterations, p->termination_threshold);
+  return knn_graph_build("nn_descent", js, metric, p->graph_degree, dataset,
+                         out_graph, out_distances);
+}
+
+cuvsTpuError_t cuvsTpuAllNeighborsBuild(const cuvsTpuAllNeighborsParams_t* p,
+                                        const char* metric, int64_t k,
+                                        const DLManagedTensor* dataset,
+                                        DLManagedTensor* out_graph,
+                                        DLManagedTensor* out_distances) {
+  char js[256];
+  std::snprintf(js, sizeof(js),
+                "{\"algo\": \"%s\", \"n_clusters\": %lld, "
+                "\"overlap_factor\": %lld}",
+                p->algo ? p->algo : "auto", (long long)p->n_clusters,
+                (long long)p->overlap_factor);
+  return knn_graph_build("all_neighbors", js, metric, k, dataset, out_graph,
+                         out_distances);
+}
+
+cuvsTpuError_t cuvsTpuRefine(const char* metric,
+                             const DLManagedTensor* dataset,
+                             const DLManagedTensor* queries,
+                             const DLManagedTensor* candidates, int64_t k,
+                             DLManagedTensor* out_distances,
+                             DLManagedTensor* out_neighbors) {
+  int64_t xr = 0, xc = 0, qr = 0, qc = 0, cr = 0, cc = 0, dr = 0, dk = 0,
+          nr = 0, nk = 0;
+  const void* xdata = dl_check_2d(dataset, "dataset", &xr, &xc);
+  const void* qdata = dl_check_2d(queries, "queries", &qr, &qc);
+  const void* cdata = dl_check_2d(candidates, "candidates", &cr, &cc);
+  const void* ddata = dl_check_2d(out_distances, "out_distances", &dr, &dk);
+  const void* ndata = dl_check_2d(out_neighbors, "out_neighbors", &nr, &nk);
+  if (!xdata || !qdata || !cdata || !ddata || !ndata) return CUVS_TPU_ERROR;
+  const char* xt = dl_dtype_name(dataset->dl_tensor.dtype);
+  const char* qt = dl_dtype_name(queries->dl_tensor.dtype);
+  if (!xt || !qt) { g_last_error = "unsupported DLDataType"; return CUVS_TPU_ERROR; }
+  const DLDataType& ct = candidates->dl_tensor.dtype;
+  if (!(ct.code == kDLInt && ct.bits == 32)) {
+    g_last_error = "candidates must be int32"; return CUVS_TPU_ERROR;
+  }
+  if (cr != qr || dr != qr || nr != qr || dk != k || nk != k || cc < k) {
+    g_last_error = "refine: shape mismatch (need candidates [nq, c>=k], "
+                   "outputs [nq, k])";
+    return CUVS_TPU_ERROR;
+  }
+  GIL gil;
+  PyObject* b = bridge();
+  if (!b) { set_error_from_python(); return CUVS_TPU_ERROR; }
+  PyObject* r = PyObject_CallMethod(
+      b, "refine", "sKLLsKLLsKLLLKK", metric ? metric : "sqeuclidean",
+      (unsigned long long)(uintptr_t)xdata, (long long)xr, (long long)xc, xt,
+      (unsigned long long)(uintptr_t)qdata, (long long)qr, (long long)qc, qt,
+      (unsigned long long)(uintptr_t)cdata, (long long)cr, (long long)cc,
+      (long long)k, (unsigned long long)(uintptr_t)ddata,
+      (unsigned long long)(uintptr_t)ndata);
+  if (!r) { set_error_from_python(); return CUVS_TPU_ERROR; }
+  Py_DECREF(r);
+  return CUVS_TPU_SUCCESS;
+}
+
+cuvsTpuError_t cuvsTpuTieredBuild(const cuvsTpuTieredIndexParams_t* p,
+                                  const char* metric,
+                                  const DLManagedTensor* dataset,
+                                  cuvsTpuIndex_t* out_index) {
+  int64_t rows = 0, cols = 0;
+  const void* data = dl_check_2d(dataset, "dataset", &rows, &cols);
+  if (!data) return CUVS_TPU_ERROR;
+  const char* dt = dl_dtype_name(dataset->dl_tensor.dtype);
+  if (!dt) { g_last_error = "dataset: unsupported DLDataType"; return CUVS_TPU_ERROR; }
+  GIL gil;
+  PyObject* b = bridge();
+  if (!b) { set_error_from_python(); return CUVS_TPU_ERROR; }
+  PyObject* r = PyObject_CallMethod(
+      b, "tiered_build", "sssLKLLs", p->upstream_algo ? p->upstream_algo : "cagra",
+      metric ? metric : "sqeuclidean",
+      p->upstream_params_json ? p->upstream_params_json : "{}",
+      (long long)p->min_ann_rows, (unsigned long long)(uintptr_t)data,
+      (long long)rows, (long long)cols, dt);
+  if (!r) { set_error_from_python(); return CUVS_TPU_ERROR; }
+  auto* h = new cuvsTpuIndex;
+  h->obj = r;
+  *out_index = h;
+  return CUVS_TPU_SUCCESS;
+}
+
+cuvsTpuError_t cuvsTpuTieredCompact(cuvsTpuIndex_t index) {
+  GIL gil;
+  PyObject* b = bridge();
+  if (!b || !index) { set_error_from_python(); return CUVS_TPU_ERROR; }
+  // "(O)" (not "O"): the handle is a tuple, and Py_BuildValue("O", tuple)
+  // would splat it as the argument list
+  PyObject* r = PyObject_CallMethod(b, "tiered_compact", "(O)", index->obj);
+  if (!r) { set_error_from_python(); return CUVS_TPU_ERROR; }
+  Py_XDECREF(index->obj);
+  index->obj = r;
+  return CUVS_TPU_SUCCESS;
+}
+
+cuvsTpuError_t cuvsTpuHnswFromCagra(cuvsTpuIndex_t cagra_index,
+                                    const cuvsTpuHnswParams_t* p,
+                                    const char* path) {
+  GIL gil;
+  PyObject* b = bridge();
+  if (!b || !cagra_index) { set_error_from_python(); return CUVS_TPU_ERROR; }
+  PyObject* r = PyObject_CallMethod(
+      b, "hnsw_from_cagra", "OssL", cagra_index->obj, path,
+      p && p->hierarchy ? p->hierarchy : "none",
+      (long long)(p ? p->ef_construction : 200));
+  if (!r) { set_error_from_python(); return CUVS_TPU_ERROR; }
+  Py_DECREF(r);
+  return CUVS_TPU_SUCCESS;
+}
+
+cuvsTpuError_t cuvsTpuHnswLoad(const char* path, const char* metric,
+                               cuvsTpuIndex_t* out_index) {
+  GIL gil;
+  PyObject* b = bridge();
+  if (!b) { set_error_from_python(); return CUVS_TPU_ERROR; }
+  PyObject* r = PyObject_CallMethod(b, "hnsw_load", "ss", path,
+                                    metric ? metric : "sqeuclidean");
+  if (!r) { set_error_from_python(); return CUVS_TPU_ERROR; }
+  auto* h = new cuvsTpuIndex;
+  h->obj = r;
+  *out_index = h;
+  return CUVS_TPU_SUCCESS;
+}
+
+cuvsTpuError_t cuvsTpuHnswSearch(cuvsTpuIndex_t index,
+                                 const cuvsTpuHnswSearchParams_t* p,
+                                 const DLManagedTensor* queries,
+                                 DLManagedTensor* out_distances,
+                                 DLManagedTensor* out_neighbors) {
+  char js[64];
+  std::snprintf(js, sizeof(js), "{\"ef\": %lld}", (long long)(p ? p->ef : 64));
   return cuvsTpuIndexSearchDL(index, js, queries, out_distances, out_neighbors);
 }
 

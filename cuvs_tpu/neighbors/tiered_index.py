@@ -82,13 +82,19 @@ def compact(t: TieredIndex) -> TieredIndex:
 
 
 def search(t: TieredIndex, queries, k: int, prefilter=None,
-           ann_kw: Optional[dict] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Fan out to both tiers, merge top-k (tiered_index.cuh:155-183)."""
+           ann_kw: Optional[dict] = None,
+           **kw) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fan out to both tiers, merge top-k (tiered_index.cuh:155-183).
+
+    Extra keyword args are forwarded to the ANN tier's search (same
+    convention as the upstream modules), merged over ``ann_kw``.
+    """
+    ann_kw = {**(ann_kw or {}), **kw}
     parts_d, parts_i = [], []
     select_min = is_min_close(t.metric)
     if t.ann_index is not None:
         d, i = t.module.search(t.ann_index, queries, k, prefilter=prefilter,
-                               **(ann_kw or {}))
+                               **ann_kw)
         parts_d.append(jnp.asarray(d))
         parts_i.append(jnp.asarray(i))
     if t.bf_data is not None and t.bf_data.shape[0] > 0:

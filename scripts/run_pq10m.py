@@ -7,6 +7,11 @@ kernel (ops/ivf_scan_pallas.py::fused_pq_scan) decodes in VMEM with
 one-hot MXU matmuls; this script records its recall/QPS ladder plus an
 exact bf16 device refine pass (refine ratio 4).
 
+Memory plan (fits a 16 GB v5e chip): the f32 dataset lives on the HOST
+and feeds ivf_pq.build_streaming slice by slice (the bigann-1B-regime
+builder); the device keeps only a bf16 copy (1.9 GB) for ground truth +
+refine, plus the packed PQ codes (~1 GB with the serving layout).
+
 Prints one line per config: recall@10 + QPS over 4096 queries.
 """
 
@@ -30,6 +35,7 @@ K = 10
 N_LISTS = int(os.environ.get("N_LISTS", 4096))
 CAND = int(os.environ.get("CAND", 40))
 PQ_DIM = int(os.environ.get("PQ_DIM", 48))
+SLICE = int(os.environ.get("SLICE", 1_000_000))
 
 
 def main():
@@ -40,30 +46,43 @@ def main():
     from cuvs_tpu.ops import bf_topk_pallas
 
     print(f"# {jax.devices()}", file=sys.stderr, flush=True)
-    key = jax.random.PRNGKey(0)
-    k1, k2, k3, k4 = jax.random.split(key, 4)
     r = D // 4
-    proj = jax.random.normal(k1, (r, D), jnp.float32) / np.sqrt(r)
-    x = (jax.random.normal(k2, (N, r), jnp.float32) @ proj
-         + 0.05 * jax.random.normal(k3, (N, D), jnp.float32))
-    q = (jax.random.normal(k4, (NQ, r), jnp.float32) @ proj
-         + 0.05 * jax.random.normal(jax.random.PRNGKey(9), (NQ, D),
-                                    jnp.float32))
-    x = jax.block_until_ready(x)
+    proj = jax.random.normal(jax.random.PRNGKey(1), (r, D), jnp.float32)
+    proj = proj / np.sqrt(r)
+
+    @jax.jit
+    def gen_slice(key, rows):
+        kz, kn = jax.random.split(key)
+        z = jax.random.normal(kz, (rows, r), jnp.float32)
+        return z @ proj + 0.05 * jax.random.normal(kn, (rows, D), jnp.float32)
+
+    n_slices = -(-N // SLICE)
+    host = np.empty((N, D), np.float32)
+    x16_parts = []
+    for i in range(n_slices):
+        rows = min(SLICE, N - i * SLICE)
+        sl = gen_slice(jax.random.PRNGKey(100 + i), rows)
+        host[i * SLICE : i * SLICE + rows] = np.asarray(sl)
+        x16_parts.append(sl.astype(jnp.bfloat16))
+        del sl
+    x16 = jnp.concatenate(x16_parts, axis=0)
+    del x16_parts
+    q = jax.block_until_ready(gen_slice(jax.random.PRNGKey(9), NQ))
     print("# data ready", file=sys.stderr, flush=True)
 
-    x16 = x.astype(jnp.bfloat16)
     gtd, gti = bf_topk_pallas.search(x16, None, q, K,
                                      compute_dtype=jnp.bfloat16, exact=False)
     gti = np.asarray(gti)
     print("# ground truth done", file=sys.stderr, flush=True)
 
     t0 = time.time()
-    idx = ivf_pq.build(x, n_lists=N_LISTS, pq_dim=PQ_DIM, seed=0)
+    idx = ivf_pq.build_streaming(
+        lambda i: host[i * SLICE : (i + 1) * SLICE],
+        n_slices, n_lists=N_LISTS, pq_dim=PQ_DIM, seed=0,
+    )
     jax.block_until_ready(idx.sorted_codes_t)
     print(f"# build: {time.time()-t0:.0f}s window={idx.window}",
           file=sys.stderr, flush=True)
-    del x  # keep only the bf16 copy for refine
 
     def recall(i):
         return float(np.mean([

@@ -76,6 +76,79 @@ def test_rust_param_structs_mirror_header():
         )
 
 
+def test_go_struct_literals_mirror_header():
+    """Every named-field composite literal for a C struct in the Go source
+    uses exactly the header's field names (what cgo's compiler would check)."""
+    go = (ROOT / "go" / "cuvs_tpu.go").read_text()
+    lits = re.findall(r"C\.(cuvsTpu\w+_t)\{(.*?)\}", go, re.S)
+    assert lits, "no C struct literals found in go source"
+    for c_name, body in lits:
+        fields = set(re.findall(r"(\w+):", body))
+        header_fields = set(_header_struct_fields(c_name))
+        assert fields <= header_fields, (
+            f"go literal for {c_name} names fields not in the header: "
+            f"{fields - header_fields}"
+        )
+
+
+def test_go_enum_constants_exist():
+    go = (ROOT / "go" / "cuvs_tpu.go").read_text()
+    consts = set(re.findall(r"C\.(CUVS_TPU_[A-Z0-9_]+)", go))
+    assert consts, "no enum constants used in go source"
+    header_consts = set(re.findall(r"\b(CUVS_TPU_[A-Z0-9_]+)\b", HEADER))
+    missing = consts - header_consts
+    assert not missing, f"go uses enum constants absent from the header: {missing}"
+
+
+def _c_struct_layout(name: str):
+    """Natural-alignment offsets + total size for a header struct (the
+    layout Panama's canonical layouts would produce on LP64)."""
+    m = re.search(r"typedef struct \{([^}]*)\} " + name + ";", HEADER)
+    assert m, f"{name} not in header"
+    sizes = {
+        "int64_t": 8, "uint64_t": 8, "double": 8, "int32_t": 4, "int": 4,
+        "float": 4, "uint32_t": 4, "int8_t": 1, "uint8_t": 1,
+    }
+    offsets, off = {}, 0
+    for line in m.group(1).splitlines():
+        line = re.sub(r"/\*.*?\*/", "", line).strip().rstrip(";")
+        if not line:
+            continue
+        toks = line.split()
+        fname = toks[-1].lstrip("*")
+        if "*" in line or toks[0] in ("const",) and "*" in toks[-1]:
+            sz = 8
+        else:
+            sz = sizes.get(toks[0], 8)  # enums & unknown typedefs: int-like
+            if toks[0].startswith("cuvsTpu") and toks[0].endswith("_t"):
+                sz = 4 if "Type" in toks[0] or "Dtype" in toks[0] else 8
+        off = (off + sz - 1) // sz * sz
+        offsets[fname] = off
+        off += sz
+    total = (off + 7) // 8 * 8
+    return offsets, total
+
+
+def test_java_tensor_layout_matches_header():
+    """The hand-built Panama MemorySegment layout for cuvsTpuTensor_t must
+    use the header struct's real offsets and size."""
+    java = (ROOT / "java" / "src" / "main" / "java" / "com" / "cuvstpu"
+            / "CuvsTpu.java").read_text()
+    offsets, total = _c_struct_layout("cuvsTpuTensor_t")
+    m = re.search(
+        r"MemorySegment tensor\(.*?a\.allocate\((\d+)\);(.*?)return t;",
+        java, re.S)
+    assert m, "tensor() builder not found in java source"
+    assert int(m.group(1)) == total, (
+        f"java allocates {m.group(1)} bytes for cuvsTpuTensor_t, header "
+        f"layout is {total}"
+    )
+    sets = re.findall(r"t\.set\(C_\w+, (\d+),", m.group(2))
+    assert [int(s) for s in sets] == list(offsets.values()), (
+        f"java tensor offsets {sets} diverge from header layout {offsets}"
+    )
+
+
 def test_abi_baseline_covers_binding_symbols():
     baseline = set(
         (ROOT / "ci" / "c_abi_baseline.txt").read_text().split()

@@ -21,7 +21,7 @@ def test_capi_smoke():
         text=True,
         env=env,
         cwd=CAPI,
-        timeout=280,
+        timeout=540,
     )
     assert r.returncode == 0, (r.stdout, r.stderr)
     assert "C API smoke test PASSED" in r.stdout
