@@ -435,7 +435,9 @@ def _codes_t_chunked(sorted_u8, chunk=1 << 20):
                  | (w[:, :, 3] << 24))
         return lax.dynamic_update_slice(out, words.T, (0, i * c))
 
-    out = jnp.zeros((Sw, Np + pad), jnp.uint32)
+    # word rows pad to a sublane multiple of 8 (the fused kernel's dim-0
+    # window DMA alignment — same contract as pack_codes_transposed)
+    out = jnp.zeros((-(-Sw // 8) * 8, Np + pad), jnp.uint32)
     return lax.fori_loop(0, (Np + pad) // c, step, out)[:, :Np]
 
 

@@ -199,8 +199,15 @@ def build(dataset, params: Optional[IndexParams] = None, **kw) -> Index:
     order, lists = ivf.sort_by_label(labels, n_lists, pad=window)
     pad1 = lambda a, v=0: jnp.pad(a, [(0, window)] + [(0, 0)] * (a.ndim - 1), constant_values=v)
     sorted_codes = pad1(codes[order]).astype(jnp.uint32)
-    # fused path covers bits <= 8 (book = 2^bits one-hot rows per dim)
-    codes_t = sorted_codes.T.copy() if params.bits_per_dim <= 8 else None
+    # fused path covers bits <= 8 (book = 2^bits one-hot rows per dim).
+    # Word rows pad to a sublane multiple of 8 for the kernel's dim-0
+    # window DMA (e.g. dim 96 @ 1 bit -> 3 words would fail to lower).
+    if params.bits_per_dim <= 8:
+        ct = sorted_codes.T
+        codes_t = jnp.pad(ct, ((0, -(-ct.shape[0] // 8) * 8 - ct.shape[0]),
+                               (0, 0)))
+    else:
+        codes_t = None
     return Index(
         centers=centers,
         center_norms=pairwise.row_norms(centers),

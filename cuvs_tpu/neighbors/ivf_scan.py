@@ -599,7 +599,11 @@ def pack_codes_transposed(codes_sorted, window: int):
     w = c.reshape(-1, Sw, 4)
     words = (w[:, :, 0] | (w[:, :, 1] << 8) | (w[:, :, 2] << 16)
              | (w[:, :, 3] << 24))
-    return words.T
+    # pad word rows to a sublane multiple: the kernel's window DMA slices
+    # dim 0 of the HBM word matrix, and Mosaic requires 8-aligned slice
+    # shapes there (pq_dim=48 -> Sw=12 would otherwise fail to lower)
+    Sw8 = -(-Sw // 8) * 8
+    return jnp.pad(words.T, ((0, Sw8 - Sw), (0, 0)))
 
 
 def decoded_norms(codes_sorted, pq_centers, window: int, W_k: int):

@@ -200,7 +200,7 @@ def _pq_scan_kernel(
     # inputs
     qidx_ref,    # [1, 1, M] int32 query id per slot (-1 empty)
     q_ref,       # [nq_pad, dp] ROTATED queries, compute dtype (VMEM)
-    ctile_ref,   # [1, dp] rotated center of this tile's cluster
+    ctile_ref,   # [1, 1, dp] rotated center of this tile's cluster
     cb_ref,      # [dp, S*book] transposed block-diagonal decode matrix
     codes_hbm,   # [Sw, n_pad] uint32 bit-packed codes (bits each)
     *rest,       # mode "pq":     norms_hbm, outs, codes_buf, norm_buf, sems
@@ -288,7 +288,7 @@ def _pq_scan_kernel(
     qtile = jnp.dot(onehot, q_ref[:], preferred_element_type=jnp.float32
                     ).astype(q_ref.dtype)
     if not ip and not rabitq:
-        qtile = qtile - ctile_ref[:]
+        qtile = qtile - ctile_ref[0]
 
     slot = t % 2
     for dma in window_dma(slot, t):
@@ -414,7 +414,13 @@ def fused_pq_scan(
     cross-probe top-k."""
     n_tiles, M = qidx.shape
     nq, dp = queries_rot.shape
+    # the window DMA slices dim 0 of the word matrix: Mosaic needs that
+    # slice 8-aligned. Build paths pre-pad; this guard is a no-op there
+    # and a correctness fallback for direct callers.
     Sw = codes_t.shape[0]
+    if Sw % 8:
+        codes_t = jnp.pad(codes_t, ((0, -(-Sw // 8) * 8 - Sw), (0, 0)))
+        Sw = codes_t.shape[0]
     S = cb_t.shape[1] // book
     F = cap * 128
     Wn = -(-(W + 896) // 1024) * 1024
@@ -435,7 +441,10 @@ def fused_pq_scan(
             pl.BlockSpec((1, 1, M), lambda t, al, lo_, sz: (t, 0, 0)),
             pl.BlockSpec((nq_pad, dp), lambda t, al, lo_, sz: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, dp), lambda t, al, lo_, sz: (t, 0)),
+            # [n_tiles, 1, dp] with a (1, 1, dp) block: Mosaic requires the
+            # last-two block dims to divide (8, 128) or equal the array
+            # dims, so the per-tile row rides a leading singleton dim
+            pl.BlockSpec((1, 1, dp), lambda t, al, lo_, sz: (t, 0, 0)),
             pl.BlockSpec((dp, S * book), lambda t, al, lo_, sz: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -460,7 +469,7 @@ def fused_pq_scan(
         jnp.asarray(sizes, jnp.int32),
         qidx[:, None, :],
         qp,
-        centers_tile,
+        centers_tile[:, None, :],
         cb_t,
         codes_t,
         _norm_layout(sorted_norms, n_pad, Wn),

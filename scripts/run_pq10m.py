@@ -50,7 +50,9 @@ def main():
     proj = jax.random.normal(jax.random.PRNGKey(1), (r, D), jnp.float32)
     proj = proj / np.sqrt(r)
 
-    @jax.jit
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=1)
     def gen_slice(key, rows):
         kz, kn = jax.random.split(key)
         z = jax.random.normal(kz, (rows, r), jnp.float32)

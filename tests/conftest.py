@@ -43,6 +43,7 @@ _SLOW = {
     "test_mg.py": ["test_sharded_search"],
     "test_serialize.py": ["test_cagra_compressed", "test_tiered"],
     "test_graph_family.py": ["test_hnsw_cpu_hierarchy", "test_vamana_recall"],
+    "test_reference_recall.py": ["test_cagra", "test_ivf"],
 }
 
 
