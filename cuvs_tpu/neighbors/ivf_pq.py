@@ -836,6 +836,12 @@ def search(
             bin_cap=cap,
             book=int(index.pq_book_size),
             prefilter=prefilter,
+            # lut_dtype=int8 quantizes the kernel's per-tile ADC LUT and
+            # runs the scoring matmul at the doubled int8 rate (the
+            # reference's LUT-precision knob, ivf_pq.hpp
+            # search_params::lut_dtype = CUDA_R_8U)
+            fused_dtype=("int8" if jnp.dtype(params.lut_dtype) == jnp.int8
+                         else "bf16"),
             interpret=jax.default_backend() != "tpu",
         )
     if algo == "cluster_major":

@@ -82,6 +82,22 @@ def group_pairs(probe_ids: jnp.ndarray, n_lists: int, max_per_cluster: int):
     return qidx, pair_slot.reshape(nq, p)
 
 
+def _round_window_up(window: int, n_pad: int) -> int:
+    """Size of the fused kernels' DMA window: window + 128 (room for the
+    128-aligned start shift), rounded up to a multiple of 512 when the
+    array allows. The kernel splits the window into W_k/128 lane blocks
+    and picks the largest inner-matmul chunk dividing that count (<= 4
+    blocks); a 512-multiple guarantees inner = 512 instead of degrading
+    to 128-wide MXU ops when W_k/128 lands on a prime-ish count (e.g.
+    window 3072 -> 25 blocks -> inner 128, measured 5.7k QPS vs 512-wide
+    chunks at the same probe count)."""
+    base = window + 128
+    rounded = -(-base // 512) * 512
+    # the window start is clamped to n_pad - W_k: keep W_k <= n_pad so the
+    # clamp stays non-negative (tiny datasets)
+    return rounded if rounded <= n_pad else base
+
+
 @functools.partial(jax.jit, static_argnames=("n_lists", "m_tile", "n_tiles"))
 def group_pairs_tiled(probe_ids: jnp.ndarray, n_lists: int, m_tile: int,
                       n_tiles: int):
@@ -476,7 +492,7 @@ def cluster_major_scan_fused(
     ip = metric == DistanceType.InnerProduct
     dp = sorted_data.shape[1]
     n_pad = sorted_data.shape[0]
-    W_k = window + 128  # +128: room for the 128-aligned start shift
+    W_k = _round_window_up(window, n_pad)
 
     flt = None if (prefilter is None or prefilter.is_none) else prefilter
     bitset_mode = flt is not None and flt.kind == "bitset"
@@ -640,6 +656,7 @@ def cluster_major_scan_pq_fused(
     book=256,
     prefilter=None,
     overfetch=4,
+    fused_dtype="bf16",
     interpret=False,
 ):
     """IVF-PQ cluster-major search through the fused Pallas PQ kernel
@@ -649,6 +666,12 @@ def cluster_major_scan_pq_fused(
     ivf_pq_compute_similarity_impl.cuh:35-78). PER_SUBSPACE codebooks,
     L2 family + InnerProduct. Rankings are ADC-approximate — pair with
     refine() for the last recall digits.
+
+    ``fused_dtype="int8"`` runs the kernel's ADC-LUT scoring matmul at
+    v5e's doubled int8 rate: the per-tile LUT is quantized IN-KERNEL
+    with one dynamic scale for a ~0.5-1.5%% extra ADC error that refine
+    absorbs (the reference's analog knob is search_params.lut_dtype =
+    CUDA_R_8U, ivf_pq.hpp:339).
 
     Filters: bitset folds into the kernel's per-row penalty (exact; IP
     rides the penalty channel via ``use_pen``); bitmap/udf mask an
@@ -663,7 +686,7 @@ def cluster_major_scan_pq_fused(
     rot_dim = rotation.shape[0]
     dp = -(-rot_dim // 128) * 128
     n_pad = codes_t.shape[1]
-    W_k = window + 128
+    W_k = _round_window_up(window, n_pad)
 
     tile_cluster, qidx, pair_tile, pair_slot = group_pairs_tiled(
         probe_ids, n_lists, M, n_tiles
@@ -676,6 +699,7 @@ def cluster_major_scan_pq_fused(
     sizes = jnp.where(tile_cluster >= 0, lists.sizes[safe_c], 0)
 
     # rotated-frame operands (PQ error >> bf16 rounding; refine recovers)
+    int8_mode = fused_dtype == "int8"
     cdt = jnp.bfloat16
     qrot = queries_f32 @ rotation.T  # [nq, rot_dim] f32
     qrot_p = jnp.pad(qrot, ((0, 0), (0, dp - rot_dim))).astype(cdt)
@@ -708,7 +732,7 @@ def cluster_major_scan_pq_fused(
         codes_t, sorted_norms, qrot_p, cb_t, centers_tile,
         qidx, al, lo, sizes,
         W=W_k, m_tile=M, inner=ib * 128, ip=ip, cap=cap, book=book,
-        use_pen=use_pen, interpret=interpret,
+        use_pen=use_pen, int8_mode=int8_mode, interpret=interpret,
     )
     # per-(query, probe) cluster term: L2 adds ||q' - c_rot||^2's query
     # part ||Rq - c_rot||^2; IP adds -q.center (q.x = q.c + q_rot.y)
@@ -821,7 +845,7 @@ def cluster_major_scan_rabitq_fused(
     rot_dim = rotation.shape[0]
     dp = -(-rot_dim // 128) * 128
     n_pad = codes_t.shape[1]
-    W_k = window + 128
+    W_k = _round_window_up(window, n_pad)
     book = 1 << bits
 
     tile_cluster, qidx, pair_tile, pair_slot = group_pairs_tiled(

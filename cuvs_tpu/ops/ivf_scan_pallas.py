@@ -217,17 +217,31 @@ def _pq_scan_kernel(
     bits: int,
     mode: str,
     use_pen: bool = False,
+    int8_mode: bool = False,
 ):
     """Quantized-code analog of ``_scan_kernel`` (the reference's fused
     LUT scans: ivf_pq_compute_similarity_impl.cuh:35-78, RaBitQ
     bitwise_emit_distances_kernel.cu.in:85-108). Instead of an ADC
     gather per (query, row, subspace) — gathers are row-rate bound on
-    TPU — each code chunk is decoded IN VMEM with one MXU matmul: a
-    transposed one-hot [S*book, inner] (built by per-subspace static
-    bit-extract + sublane-iota compare, no relayouts) times the
-    transposed block-diagonal decode matrix [dp, S*book]. Codes travel
-    as [Sw, n_pad] packed words (exact bit-packed memory parity) so the
-    window DMA is Sw contiguous W*4-byte lines.
+    TPU — the kernel is the reference's LUT scan mapped to the MXU:
+    once per tile it builds the ADC lookup table for every query in the
+    tile with one matmul, lut = q'tile @ cb  [M, S*book] (cb is the
+    transposed block-diagonal decode matrix, so lut[m, s*book+c] =
+    <q'_m restricted to subspace s, codebook[s, c]>), then each code
+    chunk is scored with a single MXU matmul lut @ onehot, where the
+    transposed one-hot [S*book, inner] is built by per-subspace static
+    bit-extract + sublane-iota compare (no relayouts). This is ~2x less
+    MXU work per scanned row than decode-then-score (an M-tall pass
+    instead of dp-tall + M-tall) and M >= 128 fills the systolic array.
+    Codes travel as [Sw, n_pad] packed words (exact bit-packed memory
+    parity) so the window DMA is Sw contiguous W*4-byte lines.
+
+    ``int8_mode`` quantizes the LUT to int8 IN-KERNEL with one dynamic
+    per-tile scale (the LUT's dynamic range is tiny — centered-query
+    times residual-codeword partials), running the scoring matmul at
+    the doubled int8 MXU rate; the int32 one-hot accumulate is exact,
+    so the only error is the 8-bit LUT rounding the reference also
+    offers (search_params::lut_dtype = CUDA_R_8U, ivf_pq.hpp:339).
 
     Epilogues: mode "pq" scores q'.y - 0.5||y||^2 against decoded
     residual norms (order out = ||y||^2 - 2 q'.y); mode "rabitq" scores
@@ -290,6 +304,18 @@ def _pq_scan_kernel(
     if not ip and not rabitq:
         qtile = qtile - ctile_ref[0]
 
+    # per-tile ADC LUT (see docstring): one [M, dp] x [dp, S*book]
+    # matmul amortized over the whole window
+    lut = jnp.dot(qtile, cb_ref[:], preferred_element_type=jnp.float32)
+    if int8_mode:
+        # dynamic per-tile scale; |lut/ls| <= 127 by construction so the
+        # round needs no clip, and the int8 cast of +/-127.0 is exact
+        ls = jnp.maximum(jnp.max(jnp.abs(lut)), 1e-30) / 127.0
+        lut_q = jnp.round(lut / ls).astype(jnp.int8)
+    else:
+        ls = jnp.float32(1.0)
+        lut_q = lut.astype(q_ref.dtype)
+
     slot = t % 2
     for dma in window_dma(slot, t):
         dma.wait()
@@ -323,7 +349,7 @@ def _pq_scan_kernel(
     sub_iota = jax.lax.broadcasted_iota(jnp.int32, (book, inner), 0)
     mask_v = (1 << bits) - 1
     for j in range(W // inner):
-        # ---- decode this chunk in VMEM: one-hot^T @ decode-matrix^T ----
+        # ---- score this chunk in VMEM: LUT @ one-hot^T, one matmul ----
         oh_rows = []
         for s in range(S):
             lo_bit = s * bits
@@ -336,11 +362,15 @@ def _pq_scan_kernel(
                                    j * inner : (j + 1) * inner]
                          << jnp.uint32(32 - sh))
             code = v.astype(jnp.int32) & mask_v
-            oh_rows.append((sub_iota == code).astype(q_ref.dtype))
+            oh_rows.append((sub_iota == code).astype(lut_q.dtype))
         oh = jnp.concatenate(oh_rows, axis=0)  # [S*book, inner]
-        dec = jnp.dot(cb_ref[:], oh, preferred_element_type=jnp.float32
-                      ).astype(q_ref.dtype)  # [dp, inner]
-        dots = jnp.dot(qtile, dec, preferred_element_type=jnp.float32)
+        if int8_mode:
+            # one-hot column sums select S int8 LUT entries per row: the
+            # int32 accumulate is exact; ls restores the true scale
+            dots = jnp.dot(lut_q, oh, preferred_element_type=jnp.int32
+                           ).astype(jnp.float32) * ls
+        else:
+            dots = jnp.dot(lut_q, oh, preferred_element_type=jnp.float32)
         fj = inner // 128
         for c in range(fj):
             cc = j * fj + c
@@ -383,7 +413,7 @@ def _norm_layout(arr, n_pad: int, Wn: int):
 @functools.partial(
     jax.jit,
     static_argnames=("W", "m_tile", "inner", "ip", "cap", "book", "bits",
-                     "mode", "use_pen", "interpret"),
+                     "mode", "use_pen", "int8_mode", "interpret"),
 )
 def fused_pq_scan(
     codes_t,       # [Sw, n_pad] uint32 bit-packed codes, list-sorted
@@ -405,13 +435,15 @@ def fused_pq_scan(
     mode: str = "pq",
     sorted_fr=None,  # [n] f32 rabitq f_rescale (effective), else None
     use_pen: bool = False,  # IP mode: norm channel carries a filter penalty
+    int8_mode: bool = False,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run the fused quantized-code scan. Same output contract as
     ``fused_ivf_scan``: order values are the per-window ranking part
     (pq: ||y||^2 - 2 q'.y / -q.y; rabitq: fa + fr*<q_rot, xu>); the
     caller adds the per-(query, probe) cluster term before the
-    cross-probe top-k."""
+    cross-probe top-k. ``int8_mode`` quantizes the in-kernel ADC LUT
+    to int8 with a dynamic per-tile scale (see _pq_scan_kernel)."""
     n_tiles, M = qidx.shape
     nq, dp = queries_rot.shape
     # the window DMA slices dim 0 of the word matrix: Mosaic needs that
@@ -462,6 +494,7 @@ def fused_pq_scan(
     kernel = functools.partial(
         _pq_scan_kernel, W=W, Wn=Wn, inner=inner, ip=ip, nq_pad=nq_pad,
         cap=cap, S=S, book=book, bits=bits, mode=mode, use_pen=use_pen,
+        int8_mode=int8_mode,
     )
     operands = [
         jnp.append(jnp.asarray(starts_al, jnp.int32), 0),

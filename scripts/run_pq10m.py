@@ -102,19 +102,23 @@ def main():
         qps = NQ * reps / (time.time() - t0)
         print(f"{label}: recall@10={rec:.4f} qps={qps:.0f}", flush=True)
 
-    for p in (64, 128, 256):
-        sp = ivf_pq.SearchParams(n_probes=p, scan_algo="fused")
-        bench(f"pq fused p={p}", lambda: ivf_pq.search(idx, q, K, sp))
+    for lut, tag in ((jnp.float32, ""), (jnp.int8, " int8")):
+        for p in (64, 128, 256):
+            sp = ivf_pq.SearchParams(n_probes=p, scan_algo="fused",
+                                     lut_dtype=lut)
+            bench(f"pq fused{tag} p={p}",
+                  lambda: ivf_pq.search(idx, q, K, sp))
 
-    for p in (64, 128):
-        sp = ivf_pq.SearchParams(n_probes=p, scan_algo="fused")
+        for p in (64, 128, 192):
+            sp = ivf_pq.SearchParams(n_probes=p, scan_algo="fused",
+                                     lut_dtype=lut)
 
-        def rsearch():
-            _, cand = ivf_pq.search(idx, q, CAND, sp)
-            return refine.refine(x16, q, cand, K,
-                                 compute_dtype=jnp.bfloat16)
+            def rsearch():
+                _, cand = ivf_pq.search(idx, q, CAND, sp)
+                return refine.refine(x16, q, cand, K,
+                                     compute_dtype=jnp.bfloat16)
 
-        bench(f"pq fused p={p} + bf16 refine", rsearch)
+            bench(f"pq fused{tag} p={p} + bf16 refine", rsearch)
 
 
 if __name__ == "__main__":

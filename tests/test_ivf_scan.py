@@ -294,6 +294,29 @@ class TestFusedPQScan:
             ivf_pq.SearchParams(n_probes=32, scan_algo="cluster_major"))
         assert self._agree(i_f, i_c, 10) >= 0.9
 
+    @pytest.mark.parametrize("metric", ["sqeuclidean", "inner_product"])
+    def test_int8_lut(self, metric):
+        """lut_dtype=int8 quantizes the kernel's per-tile ADC LUT (the
+        reference's lut_dtype=CUDA_R_8U knob): rankings must track the
+        f32 unfused scan within the 8-bit rounding budget."""
+        import jax.numpy as jnp
+        from cuvs_tpu.neighbors import ivf_pq
+
+        idx, x, q = self._build(metric=metric)
+        df, i_f = ivf_pq.search(
+            idx, q, 10,
+            ivf_pq.SearchParams(n_probes=32, scan_algo="fused",
+                                lut_dtype=jnp.int8))
+        dc, i_c = ivf_pq.search(
+            idx, q, 10,
+            ivf_pq.SearchParams(n_probes=32, scan_algo="cluster_major"))
+        assert self._agree(i_f, i_c, 10) >= 0.85
+        if metric == "sqeuclidean":
+            np.testing.assert_allclose(
+                np.sort(np.asarray(df), axis=1)[:, :5],
+                np.sort(np.asarray(dc), axis=1)[:, :5], rtol=0.08, atol=1.0,
+            )
+
     def test_refined_recall(self):
         from cuvs_tpu.neighbors import ivf_pq, refine
         from tests.utils import naive_knn, calc_recall
