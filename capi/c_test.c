@@ -191,6 +191,30 @@ int main(void) {
     CHECK(cuvsTpuSync());
     CHECK(cuvsTpuIndexDestroy(ivf2));
     printf("param-struct ivf_flat ok\n");
+
+    /* typed IVF-PQ endpoints, incl. the lut_dtype precision knob */
+    cuvsTpuIvfPqIndexParams_t pbp;
+    cuvsTpuIvfPqIndexParamsDefault(&pbp);
+    pbp.n_lists = 16;
+    pbp.pq_dim = d / 2;
+    cuvsTpuIvfPqSearchParams_t psp;
+    cuvsTpuIvfPqSearchParamsDefault(&psp);
+    psp.n_probes = 16;
+    psp.lut_dtype = "int8";
+    cuvsTpuIndex_t pq2;
+    CHECK(cuvsTpuIvfPqBuild(&pbp, "sqeuclidean", &dset, &pq2));
+    CHECK(cuvsTpuIvfPqSearch(pq2, &psp, &dq, &dout, &iout));
+    int hits = 0;
+    for (int64_t q = 0; q < nq; ++q)
+      for (int64_t j = 0; j < k; ++j)
+        if (out_i[q * k + j] == (int32_t)q) { ++hits; break; }
+    if (hits < (int)(nq * 0.9)) {  /* PQ is lossy: self-nn in top-k */
+      fprintf(stderr, "FAIL pq int8-lut self-nn: %d/%d\n", hits, (int)nq);
+      return 1;
+    }
+    CHECK(cuvsTpuSync());
+    CHECK(cuvsTpuIndexDestroy(pq2));
+    printf("param-struct ivf_pq (int8 lut) ok\n");
   }
 
   /* ---- mg API over the local device mesh ---- */

@@ -171,6 +171,9 @@ typedef struct {
 typedef struct {
   int64_t n_probes;              /* 20 */
   double recall_target;
+  const char* lut_dtype;         /* NULL/"float32" or "int8": quantize the
+                                  * fused kernel's per-tile ADC LUT
+                                  * (reference ivf_pq.hpp:339 lut_dtype) */
 } cuvsTpuIvfPqSearchParams_t;
 
 typedef struct {

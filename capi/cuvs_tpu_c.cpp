@@ -332,6 +332,7 @@ void cuvsTpuIvfPqIndexParamsDefault(cuvsTpuIvfPqIndexParams_t* p) {
 void cuvsTpuIvfPqSearchParamsDefault(cuvsTpuIvfPqSearchParams_t* p) {
   p->n_probes = 20;
   p->recall_target = 0.0;
+  p->lut_dtype = nullptr;  /* full-precision LUT */
 }
 void cuvsTpuCagraIndexParamsDefault(cuvsTpuCagraIndexParams_t* p) {
   p->intermediate_graph_degree = 128;
@@ -436,12 +437,16 @@ cuvsTpuError_t cuvsTpuIvfPqSearch(cuvsTpuIndex_t index,
                                   const DLManagedTensor* queries,
                                   DLManagedTensor* out_distances,
                                   DLManagedTensor* out_neighbors) {
-  char js[160];
+  char js[224];
+  int n = std::snprintf(js, sizeof(js), "{\"n_probes\": %lld",
+                        (long long)p->n_probes);
   if (p->recall_target > 0)
-    std::snprintf(js, sizeof(js), "{\"n_probes\": %lld, \"recall_target\": %g}",
-                  (long long)p->n_probes, p->recall_target);
-  else
-    std::snprintf(js, sizeof(js), "{\"n_probes\": %lld}", (long long)p->n_probes);
+    n += std::snprintf(js + n, sizeof(js) - n, ", \"recall_target\": %g",
+                       p->recall_target);
+  if (p->lut_dtype && *p->lut_dtype)
+    n += std::snprintf(js + n, sizeof(js) - n, ", \"lut_dtype\": \"%s\"",
+                       p->lut_dtype);
+  std::snprintf(js + n, sizeof(js) - n, "}");
   return cuvsTpuIndexSearchDL(index, js, queries, out_distances, out_neighbors);
 }
 

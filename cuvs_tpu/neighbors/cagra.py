@@ -250,9 +250,20 @@ def pack(index: Index) -> PackedIndex:
     scale = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-30) / 127.0
     x8 = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
     g = index.graph
+    n, deg = g.shape
+    d = x8.shape[1]
+    # chunk the [n, deg, d] child gather: at reference scale the output
+    # alone is HBM-large (1M x 64 x 128 int8 = 8.2 GB) and an unchunked
+    # x8[g] adds gather scratch on top — bound the transient to ~1 GB
+    # per step so pack() fits alongside a resident dataset on one chip
+    blk = max(1, min(n, (1 << 30) // max(deg * d, 1)))
+    nb = -(-n // blk)
+    gp = jnp.pad(g, ((0, nb * blk - n), (0, 0)))
+    child = lax.map(lambda gb: x8[gb], gp.reshape(nb, blk, deg))
+    child = child.reshape(nb * blk, deg, d)[:n]
     return PackedIndex(
         graph=g,
-        child_vecs=x8[g],
+        child_vecs=child,
         child_norms=index.dataset_norms[g],
         dataset_int8=x8,
         dataset_norms=index.dataset_norms,

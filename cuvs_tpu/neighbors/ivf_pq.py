@@ -708,7 +708,16 @@ def _search_impl(
                 )
                 lut = cb_norm - 2.0 * dots  # [nq, pq_dim, book]
                 base_order = jnp.sum(res * res, axis=(1, 2))
-            lut = lut.astype(lut_dtype)
+            if jnp.dtype(lut_dtype) == jnp.int8:
+                # scaled 8-bit LUT (reference lut_dtype=CUDA_R_8U): one
+                # dynamic scale per query, restored after the gather-sum
+                lut_scale = jnp.maximum(
+                    jnp.max(jnp.abs(lut), axis=(1, 2), keepdims=True), 1e-30
+                ) / 127.0
+                lut = jnp.round(lut / lut_scale).astype(jnp.int8)
+            else:
+                lut_scale = None
+                lut = lut.astype(lut_dtype)
             lut_flat = lut.reshape(nq, pq_dim * book)
 
             starts = lists.offsets[cluster]
@@ -721,6 +730,8 @@ def _search_impl(
             scores = jax.vmap(lambda lt, ix: jnp.sum(lt[ix], axis=-1))(
                 lut_flat.astype(jnp.float32), flat_idx
             )  # [nq, W]
+            if lut_scale is not None:
+                scores = scores * lut_scale[:, 0, 0, None]
             order = scores + base_order[:, None]
 
             valid = lab_w == cluster[:, None]

@@ -300,6 +300,13 @@ def search(
                 tile_n = int(_os.environ.get("CUVS_TPU_BF_TILE", 32768))
             if block_q is None:
                 block_q = int(_os.environ.get("CUVS_TPU_BF_BLOCKQ", 512))
+            # VMEM guard: the dataset window is tile_n x d x itemsize,
+            # DOUBLE-buffered — wide rows (GIST 960) blow the 128M vmem
+            # at the 128-dim-tuned 32768 default. 4096 floor: below it
+            # fused_bf_topk resets the tile to 16384.
+            isz = 1 if q_scale is not None else jnp.dtype(compute_dtype).itemsize
+            cap_rows = (56 << 20) // max(1, 2 * isz * int(dataset.shape[1]))
+            tile_n = int(min(tile_n, max(4096, cap_rows // 128 * 128)))
     block_q = int(min(block_q, max(8, qf.shape[0])))
     tile_n = int(min(tile_n, max(128, dataset.shape[0])))
     if q_scale is not None:

@@ -262,3 +262,214 @@ func (idx *MgIndex) Close() error {
 	runtime.SetFinalizer(idx, nil)
 	return err
 }
+
+/* ---- Typed per-algo API over DLPack (the reference's Go surface
+ * shape: go/cuvs/ivf_flat, ivf_pq, cagra packages expose typed param
+ * structs compiled against the C headers; here they live in one
+ * package, field-for-field against capi/cuvs_tpu.h and machine-checked
+ * by tests/test_bindings_lockstep.py). ---- */
+
+// IvfFlatIndexParams mirrors cuvsTpuIvfFlatIndexParams_t.
+type IvfFlatIndexParams struct {
+	NLists                 int64
+	KmeansNIters           int64
+	KmeansTrainsetFraction float64
+	AdaptiveCenters        bool
+	AddDataOnBuild         bool
+}
+
+// IvfFlatSearchParams mirrors cuvsTpuIvfFlatSearchParams_t.
+type IvfFlatSearchParams struct {
+	NProbes      int64
+	RecallTarget float64
+}
+
+// IvfPqIndexParams mirrors cuvsTpuIvfPqIndexParams_t.
+type IvfPqIndexParams struct {
+	NLists              int64
+	PqDim               int64
+	PqBits              int64
+	KmeansNIters        int64
+	ForceRandomRotation bool
+	CodebookKind        string
+}
+
+// IvfPqSearchParams mirrors cuvsTpuIvfPqSearchParams_t. LutDtype ""
+// keeps the full-precision ADC LUT; "int8" runs the fused scoring
+// matmul at the doubled int8 MXU rate (reference lut_dtype knob).
+type IvfPqSearchParams struct {
+	NProbes      int64
+	RecallTarget float64
+	LutDtype     string
+}
+
+// CagraIndexParams mirrors cuvsTpuCagraIndexParams_t.
+type CagraIndexParams struct {
+	IntermediateGraphDegree int64
+	GraphDegree             int64
+	BuildAlgo               string
+	GuaranteeConnectivity   bool
+}
+
+// CagraSearchParams mirrors cuvsTpuCagraSearchParams_t.
+type CagraSearchParams struct {
+	ItopkSize     int64
+	SearchWidth   int64
+	MaxIterations int64
+}
+
+func b2i(b bool) C.int32_t {
+	if b {
+		return 1
+	}
+	return 0
+}
+
+// dlTensor2D wraps a row-major 2-D host buffer as a CPU DLManagedTensor.
+// The shape array must outlive the C call — callers keep it in their
+// stack frame and pass its address.
+func dlTensor2D(data unsafe.Pointer, code C.uint8_t, bits C.uint8_t,
+	shape *[2]C.int64_t) C.DLManagedTensor {
+	return C.DLManagedTensor{
+		dl_tensor: C.DLTensor{
+			data:        data,
+			device:      C.DLDevice{device_type: C.kDLCPU, device_id: 0},
+			ndim:        2,
+			dtype:       C.DLDataType{code: code, bits: bits, lanes: 1},
+			shape:       &shape[0],
+			strides:     nil,
+			byte_offset: 0,
+		},
+	}
+}
+
+func typedSearch(call func(*C.DLManagedTensor, *C.DLManagedTensor, *C.DLManagedTensor) C.cuvsTpuError_t,
+	queries []float32, nQueries, dim, k int) ([]float32, []int32, error) {
+	if len(queries) != nQueries*dim {
+		return nil, nil, fmt.Errorf("cuvs_tpu: queries have %d elements, want %d", len(queries), nQueries*dim)
+	}
+	qShape := [2]C.int64_t{C.int64_t(nQueries), C.int64_t(dim)}
+	oShape := [2]C.int64_t{C.int64_t(nQueries), C.int64_t(k)}
+	dist := make([]float32, nQueries*k)
+	ids := make([]int32, nQueries*k)
+	qt := dlTensor2D(unsafe.Pointer(&queries[0]), C.kDLFloat, 32, &qShape)
+	dt := dlTensor2D(unsafe.Pointer(&dist[0]), C.kDLFloat, 32, &oShape)
+	it := dlTensor2D(unsafe.Pointer(&ids[0]), C.kDLInt, 32, &oShape)
+	if err := check(call(&qt, &dt, &it)); err != nil {
+		return nil, nil, err
+	}
+	return dist, ids, nil
+}
+
+// BuildIvfFlat builds an IVF-Flat index through the typed DLPack endpoint.
+func BuildIvfFlat(params IvfFlatIndexParams, metric string, dataset []float32, nRows, dim int) (*Index, error) {
+	if len(dataset) != nRows*dim {
+		return nil, fmt.Errorf("cuvs_tpu: dataset has %d elements, want %d", len(dataset), nRows*dim)
+	}
+	cp := C.cuvsTpuIvfFlatIndexParams_t{
+		n_lists:                  C.int64_t(params.NLists),
+		kmeans_n_iters:           C.int64_t(params.KmeansNIters),
+		kmeans_trainset_fraction: C.double(params.KmeansTrainsetFraction),
+		adaptive_centers:         b2i(params.AdaptiveCenters),
+		add_data_on_build:        b2i(params.AddDataOnBuild),
+	}
+	m := C.CString(metric)
+	defer C.free(unsafe.Pointer(m))
+	shape := [2]C.int64_t{C.int64_t(nRows), C.int64_t(dim)}
+	t := dlTensor2D(unsafe.Pointer(&dataset[0]), C.kDLFloat, 32, &shape)
+	idx := &Index{}
+	if err := check(C.cuvsTpuIvfFlatBuild(&cp, m, &t, &idx.handle)); err != nil {
+		return nil, err
+	}
+	runtime.SetFinalizer(idx, func(i *Index) { i.Close() })
+	return idx, nil
+}
+
+// SearchIvfFlat searches an IVF-Flat index with typed params.
+func (idx *Index) SearchIvfFlat(params IvfFlatSearchParams, queries []float32, nQueries, dim, k int) ([]float32, []int32, error) {
+	cp := C.cuvsTpuIvfFlatSearchParams_t{
+		n_probes:      C.int64_t(params.NProbes),
+		recall_target: C.double(params.RecallTarget),
+	}
+	return typedSearch(func(q, d, i *C.DLManagedTensor) C.cuvsTpuError_t {
+		return C.cuvsTpuIvfFlatSearch(idx.handle, &cp, q, d, i)
+	}, queries, nQueries, dim, k)
+}
+
+// BuildIvfPq builds an IVF-PQ index through the typed DLPack endpoint.
+func BuildIvfPq(params IvfPqIndexParams, metric string, dataset []float32, nRows, dim int) (*Index, error) {
+	if len(dataset) != nRows*dim {
+		return nil, fmt.Errorf("cuvs_tpu: dataset has %d elements, want %d", len(dataset), nRows*dim)
+	}
+	kind := cOrNil(params.CodebookKind)
+	defer freeIf(kind)
+	cp := C.cuvsTpuIvfPqIndexParams_t{
+		n_lists:               C.int64_t(params.NLists),
+		pq_dim:                C.int64_t(params.PqDim),
+		pq_bits:               C.int64_t(params.PqBits),
+		kmeans_n_iters:        C.int64_t(params.KmeansNIters),
+		force_random_rotation: b2i(params.ForceRandomRotation),
+		codebook_kind:         kind,
+	}
+	m := C.CString(metric)
+	defer C.free(unsafe.Pointer(m))
+	shape := [2]C.int64_t{C.int64_t(nRows), C.int64_t(dim)}
+	t := dlTensor2D(unsafe.Pointer(&dataset[0]), C.kDLFloat, 32, &shape)
+	idx := &Index{}
+	if err := check(C.cuvsTpuIvfPqBuild(&cp, m, &t, &idx.handle)); err != nil {
+		return nil, err
+	}
+	runtime.SetFinalizer(idx, func(i *Index) { i.Close() })
+	return idx, nil
+}
+
+// SearchIvfPq searches an IVF-PQ index with typed params.
+func (idx *Index) SearchIvfPq(params IvfPqSearchParams, queries []float32, nQueries, dim, k int) ([]float32, []int32, error) {
+	lut := cOrNil(params.LutDtype)
+	defer freeIf(lut)
+	cp := C.cuvsTpuIvfPqSearchParams_t{
+		n_probes:      C.int64_t(params.NProbes),
+		recall_target: C.double(params.RecallTarget),
+		lut_dtype:     lut,
+	}
+	return typedSearch(func(q, d, i *C.DLManagedTensor) C.cuvsTpuError_t {
+		return C.cuvsTpuIvfPqSearch(idx.handle, &cp, q, d, i)
+	}, queries, nQueries, dim, k)
+}
+
+// BuildCagra builds a CAGRA graph index through the typed DLPack endpoint.
+func BuildCagra(params CagraIndexParams, metric string, dataset []float32, nRows, dim int) (*Index, error) {
+	if len(dataset) != nRows*dim {
+		return nil, fmt.Errorf("cuvs_tpu: dataset has %d elements, want %d", len(dataset), nRows*dim)
+	}
+	algo := cOrNil(params.BuildAlgo)
+	defer freeIf(algo)
+	cp := C.cuvsTpuCagraIndexParams_t{
+		intermediate_graph_degree: C.int64_t(params.IntermediateGraphDegree),
+		graph_degree:              C.int64_t(params.GraphDegree),
+		build_algo:                algo,
+		guarantee_connectivity:    b2i(params.GuaranteeConnectivity),
+	}
+	m := C.CString(metric)
+	defer C.free(unsafe.Pointer(m))
+	shape := [2]C.int64_t{C.int64_t(nRows), C.int64_t(dim)}
+	t := dlTensor2D(unsafe.Pointer(&dataset[0]), C.kDLFloat, 32, &shape)
+	idx := &Index{}
+	if err := check(C.cuvsTpuCagraBuild(&cp, m, &t, &idx.handle)); err != nil {
+		return nil, err
+	}
+	runtime.SetFinalizer(idx, func(i *Index) { i.Close() })
+	return idx, nil
+}
+
+// SearchCagra beam-searches a CAGRA index with typed params.
+func (idx *Index) SearchCagra(params CagraSearchParams, queries []float32, nQueries, dim, k int) ([]float32, []int32, error) {
+	cp := C.cuvsTpuCagraSearchParams_t{
+		itopk_size:     C.int64_t(params.ItopkSize),
+		search_width:   C.int64_t(params.SearchWidth),
+		max_iterations: C.int64_t(params.MaxIterations),
+	}
+	return typedSearch(func(q, d, i *C.DLManagedTensor) C.cuvsTpuError_t {
+		return C.cuvsTpuCagraSearch(idx.handle, &cp, q, d, i)
+	}, queries, nQueries, dim, k)
+}

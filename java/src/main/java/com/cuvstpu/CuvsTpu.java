@@ -291,4 +291,234 @@ public final class CuvsTpu {
             }
         }
     }
+
+    /* ---- Typed per-algo API over DLPack (the reference Java binding's
+     * CagraIndexParams/IvfPqIndexParams records, Panama layouts hand-
+     * built against capi/cuvs_tpu.h; offsets + sizes machine-checked by
+     * tests/test_bindings_lockstep.py). ---- */
+
+    private static final ValueLayout.OfByte C_BYTE = ValueLayout.JAVA_BYTE;
+    private static final ValueLayout.OfShort C_SHORT = ValueLayout.JAVA_SHORT;
+    private static final ValueLayout.OfDouble C_DOUBLE = ValueLayout.JAVA_DOUBLE;
+
+    private static final MethodHandle IVF_FLAT_BUILD = handle(
+            "cuvsTpuIvfFlatBuild",
+            FunctionDescriptor.of(C_INT, C_PTR, C_PTR, C_PTR, C_PTR));
+    private static final MethodHandle IVF_FLAT_SEARCH = handle(
+            "cuvsTpuIvfFlatSearch",
+            FunctionDescriptor.of(C_INT, C_PTR, C_PTR, C_PTR, C_PTR, C_PTR));
+    private static final MethodHandle IVF_PQ_BUILD = handle(
+            "cuvsTpuIvfPqBuild",
+            FunctionDescriptor.of(C_INT, C_PTR, C_PTR, C_PTR, C_PTR));
+    private static final MethodHandle IVF_PQ_SEARCH = handle(
+            "cuvsTpuIvfPqSearch",
+            FunctionDescriptor.of(C_INT, C_PTR, C_PTR, C_PTR, C_PTR, C_PTR));
+    private static final MethodHandle CAGRA_BUILD = handle(
+            "cuvsTpuCagraBuild",
+            FunctionDescriptor.of(C_INT, C_PTR, C_PTR, C_PTR, C_PTR));
+    private static final MethodHandle CAGRA_SEARCH = handle(
+            "cuvsTpuCagraSearch",
+            FunctionDescriptor.of(C_INT, C_PTR, C_PTR, C_PTR, C_PTR, C_PTR));
+
+    /** cuvsTpuIvfFlatIndexParams_t (natural LP64 layout). */
+    public record IvfFlatIndexParams(long nLists, long kmeansNIters,
+            double kmeansTrainsetFraction, boolean adaptiveCenters,
+            boolean addDataOnBuild) {
+        MemorySegment seg(Arena a) {
+            MemorySegment s = a.allocate(32);
+            s.set(C_LONG, 0, nLists);
+            s.set(C_LONG, 8, kmeansNIters);
+            s.set(C_DOUBLE, 16, kmeansTrainsetFraction);
+            s.set(C_INT, 24, adaptiveCenters ? 1 : 0);
+            s.set(C_INT, 28, addDataOnBuild ? 1 : 0);
+            return s;
+        }
+    }
+
+    /** cuvsTpuIvfFlatSearchParams_t. */
+    public record IvfFlatSearchParams(long nProbes, double recallTarget) {
+        MemorySegment seg(Arena a) {
+            MemorySegment s = a.allocate(16);
+            s.set(C_LONG, 0, nProbes);
+            s.set(C_DOUBLE, 8, recallTarget);
+            return s;
+        }
+    }
+
+    /** cuvsTpuIvfPqIndexParams_t. */
+    public record IvfPqIndexParams(long nLists, long pqDim, long pqBits,
+            long kmeansNIters, boolean forceRandomRotation,
+            String codebookKind) {
+        MemorySegment seg(Arena a) {
+            MemorySegment s = a.allocate(48);
+            s.set(C_LONG, 0, nLists);
+            s.set(C_LONG, 8, pqDim);
+            s.set(C_LONG, 16, pqBits);
+            s.set(C_LONG, 24, kmeansNIters);
+            s.set(C_INT, 32, forceRandomRotation ? 1 : 0);
+            s.set(C_PTR, 40, cstr(a, codebookKind));
+            return s;
+        }
+    }
+
+    /** cuvsTpuIvfPqSearchParams_t. lutDtype null keeps the full-precision
+     * ADC LUT; "int8" runs the fused scoring matmul at the doubled int8
+     * MXU rate (the reference lut_dtype knob). */
+    public record IvfPqSearchParams(long nProbes, double recallTarget,
+            String lutDtype) {
+        MemorySegment seg(Arena a) {
+            MemorySegment s = a.allocate(24);
+            s.set(C_LONG, 0, nProbes);
+            s.set(C_DOUBLE, 8, recallTarget);
+            s.set(C_PTR, 16, cstr(a, lutDtype));
+            return s;
+        }
+    }
+
+    /** cuvsTpuCagraIndexParams_t. */
+    public record CagraIndexParams(long intermediateGraphDegree,
+            long graphDegree, String buildAlgo,
+            boolean guaranteeConnectivity) {
+        MemorySegment seg(Arena a) {
+            MemorySegment s = a.allocate(32);
+            s.set(C_LONG, 0, intermediateGraphDegree);
+            s.set(C_LONG, 8, graphDegree);
+            s.set(C_PTR, 16, cstr(a, buildAlgo));
+            s.set(C_INT, 24, guaranteeConnectivity ? 1 : 0);
+            return s;
+        }
+    }
+
+    /** cuvsTpuCagraSearchParams_t. */
+    public record CagraSearchParams(long itopkSize, long searchWidth,
+            long maxIterations) {
+        MemorySegment seg(Arena a) {
+            MemorySegment s = a.allocate(24);
+            s.set(C_LONG, 0, itopkSize);
+            s.set(C_LONG, 8, searchWidth);
+            s.set(C_LONG, 16, maxIterations);
+            return s;
+        }
+    }
+
+    /** Row-major 2-D host DLManagedTensor (dlpack.h, LP64: 64 bytes). */
+    private static MemorySegment dlTensor(Arena a, MemorySegment data,
+                                          byte code, byte bits,
+                                          long nRows, long nCols) {
+        MemorySegment shape = a.allocate(C_LONG, 2);
+        shape.set(C_LONG, 0, nRows);
+        shape.set(C_LONG, 8, nCols);
+        MemorySegment t = a.allocate(64);
+        t.set(C_PTR, 0, data);                   // dl_tensor.data
+        t.set(C_INT, 8, 1 /* kDLCPU */);          // device.device_type
+        t.set(C_INT, 12, 0);                      // device.device_id
+        t.set(C_INT, 16, 2);                      // ndim
+        t.set(C_BYTE, 20, code);                  // dtype.code
+        t.set(C_BYTE, 21, bits);                  // dtype.bits
+        t.set(C_SHORT, 22, (short) 1);            // dtype.lanes
+        t.set(C_PTR, 24, shape);                  // shape
+        t.set(C_PTR, 32, MemorySegment.NULL);     // strides (compact)
+        t.set(C_LONG, 40, 0);                     // byte_offset
+        t.set(C_PTR, 48, MemorySegment.NULL);     // manager_ctx
+        t.set(C_PTR, 56, MemorySegment.NULL);     // deleter
+        return t;
+    }
+
+    private static final byte DL_FLOAT = 2;  // kDLFloat
+    private static final byte DL_INT = 0;    // kDLInt
+
+    private static Index typedBuild(MethodHandle mh, MemorySegment params,
+                                    String metric, float[] dataset,
+                                    long nRows, long dim, Arena a) {
+        if (dataset.length != nRows * dim) {
+            throw new IllegalArgumentException("dataset shape mismatch");
+        }
+        try {
+            MemorySegment data = a.allocateFrom(ValueLayout.JAVA_FLOAT, dataset);
+            MemorySegment t = dlTensor(a, data, DL_FLOAT, (byte) 32, nRows, dim);
+            MemorySegment out = a.allocate(C_PTR);
+            check((int) mh.invokeExact(params, cstr(a, metric), t, out));
+            return new Index(out.get(C_PTR, 0));
+        } catch (Throwable t) {
+            throw wrap(t);
+        }
+    }
+
+    private static SearchResult typedSearch(MethodHandle mh,
+                                            MemorySegment idxHandle,
+                                            MemorySegment params,
+                                            float[] queries, long nQueries,
+                                            long dim, long k, Arena a) {
+        if (queries.length != nQueries * dim) {
+            throw new IllegalArgumentException("query shape mismatch");
+        }
+        try {
+            MemorySegment q = a.allocateFrom(ValueLayout.JAVA_FLOAT, queries);
+            MemorySegment dist = a.allocate(ValueLayout.JAVA_FLOAT, nQueries * k);
+            MemorySegment ids = a.allocate(ValueLayout.JAVA_INT, nQueries * k);
+            MemorySegment qt = dlTensor(a, q, DL_FLOAT, (byte) 32, nQueries, dim);
+            MemorySegment dt = dlTensor(a, dist, DL_FLOAT, (byte) 32, nQueries, k);
+            MemorySegment it = dlTensor(a, ids, DL_INT, (byte) 32, nQueries, k);
+            check((int) mh.invokeExact(idxHandle, params, qt, dt, it));
+            return new SearchResult(
+                    dist.toArray(ValueLayout.JAVA_FLOAT),
+                    ids.toArray(ValueLayout.JAVA_INT));
+        } catch (Throwable t) {
+            throw wrap(t);
+        }
+    }
+
+    /** Typed IVF-Flat build (cuvsTpuIvfFlatBuild). */
+    public static Index buildIvfFlat(IvfFlatIndexParams p, String metric,
+                                     float[] dataset, long nRows, long dim) {
+        try (Arena a = Arena.ofConfined()) {
+            return typedBuild(IVF_FLAT_BUILD, p.seg(a), metric, dataset, nRows, dim, a);
+        }
+    }
+
+    /** Typed IVF-Flat search (cuvsTpuIvfFlatSearch). */
+    public static SearchResult searchIvfFlat(Index idx, IvfFlatSearchParams p,
+                                             float[] queries, long nQueries,
+                                             long dim, long k) {
+        try (Arena a = Arena.ofConfined()) {
+            return typedSearch(IVF_FLAT_SEARCH, idx.handle, p.seg(a),
+                               queries, nQueries, dim, k, a);
+        }
+    }
+
+    /** Typed IVF-PQ build (cuvsTpuIvfPqBuild). */
+    public static Index buildIvfPq(IvfPqIndexParams p, String metric,
+                                   float[] dataset, long nRows, long dim) {
+        try (Arena a = Arena.ofConfined()) {
+            return typedBuild(IVF_PQ_BUILD, p.seg(a), metric, dataset, nRows, dim, a);
+        }
+    }
+
+    /** Typed IVF-PQ search (cuvsTpuIvfPqSearch). */
+    public static SearchResult searchIvfPq(Index idx, IvfPqSearchParams p,
+                                           float[] queries, long nQueries,
+                                           long dim, long k) {
+        try (Arena a = Arena.ofConfined()) {
+            return typedSearch(IVF_PQ_SEARCH, idx.handle, p.seg(a),
+                               queries, nQueries, dim, k, a);
+        }
+    }
+
+    /** Typed CAGRA build (cuvsTpuCagraBuild). */
+    public static Index buildCagra(CagraIndexParams p, String metric,
+                                   float[] dataset, long nRows, long dim) {
+        try (Arena a = Arena.ofConfined()) {
+            return typedBuild(CAGRA_BUILD, p.seg(a), metric, dataset, nRows, dim, a);
+        }
+    }
+
+    /** Typed CAGRA search (cuvsTpuCagraSearch). */
+    public static SearchResult searchCagra(Index idx, CagraSearchParams p,
+                                           float[] queries, long nQueries,
+                                           long dim, long k) {
+        try (Arena a = Arena.ofConfined()) {
+            return typedSearch(CAGRA_SEARCH, idx.handle, p.seg(a),
+                               queries, nQueries, dim, k, a);
+        }
+    }
 }

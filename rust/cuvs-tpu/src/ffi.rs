@@ -57,6 +57,9 @@ pub struct IvfPqIndexParams {
 pub struct IvfPqSearchParams {
     pub n_probes: i64,
     pub recall_target: c_double,
+    /// NULL/"float32" or "int8": quantize the fused ADC LUT (the
+    /// reference's `lut_dtype`, ivf_pq.hpp:339).
+    pub lut_dtype: *const c_char,
 }
 
 /// `cuvsTpuCagraIndexParams_t` (defaults: cagra.hpp:151).

@@ -60,10 +60,15 @@ def main():
     jax.block_until_ready(index.graph)
     print(f"build: {time.time()-t0:.0f}s", flush=True)
 
-    t0 = time.time()
-    packed = cagra.pack(index)
-    jax.block_until_ready(packed.child_vecs)
-    print(f"pack: {time.time()-t0:.0f}s", flush=True)
+    # packed layout trades HBM for gather locality: child_vecs is
+    # N*GD*D int8. At GIST dims (960) that is 61 GB — packed serving is
+    # a <=256-dim play; fall back to the standard layout above that.
+    packed = None
+    if N * GD * D <= 9 << 30:
+        t0 = time.time()
+        packed = cagra.pack(index)
+        jax.block_until_ready(packed.child_vecs)
+        print(f"pack: {time.time()-t0:.0f}s", flush=True)
 
     def recall(i, gt=gti):
         return float(np.mean([
@@ -83,7 +88,8 @@ def main():
         print(f"{label}: recall@10={rec:.4f} qps={qps:.0f}", flush=True)
         return rec
 
-    for idx, tag in ((packed, "packed"), (index, "std")):
+    layouts = ([(packed, "packed")] if packed is not None else []) + [(index, "std")]
+    for idx, tag in layouts:
         for itopk, w in ((64, 2), (128, 2), (192, 2), (256, 2)):
             kw = dict(itopk_size=itopk, search_width=w, query_chunk=NQ,
                       compute_dtype=jnp.bfloat16)
@@ -91,17 +97,18 @@ def main():
                         lambda: cagra.search(idx, q, K, **kw))
             if rec >= 0.97:
                 break
-        if tag == "packed":
-            # refine row: wide candidates + exact bf16 re-rank
+        # refine row: wide candidates + exact bf16 re-rank (first layout)
+        if (idx, tag) == layouts[0]:
             kw = dict(itopk_size=128, search_width=2, query_chunk=NQ,
                       compute_dtype=jnp.bfloat16)
+            serve = idx
 
             def refined():
-                _, cand = cagra.search(idx, q, 40, **kw)
+                _, cand = cagra.search(serve, q, 40, **kw)
                 return refine.refine(x, q, cand, K,
                                      compute_dtype=jnp.bfloat16)
 
-            bench("cagra_packed_itopk128_refine", refined)
+            bench(f"cagra_{tag}_itopk128_refine", refined)
 
     # bitset-prefiltered row (BASELINE config 4: prefiltered queries)
     keep = np.random.default_rng(0).random(N) < FILTER_KEEP
@@ -116,10 +123,11 @@ def main():
     gtik = kept_ids[np.asarray(gtik)]
     print("# filtered ground truth ready", file=sys.stderr, flush=True)
 
+    serve, stag = layouts[0]
     kw = dict(itopk_size=128, search_width=2, query_chunk=NQ,
               compute_dtype=jnp.bfloat16)
-    bench(f"cagra_packed_itopk128_filtered{FILTER_KEEP}",
-          lambda: cagra.search(packed, q, K, prefilter=flt, **kw),
+    bench(f"cagra_{stag}_itopk128_filtered{FILTER_KEEP}",
+          lambda: cagra.search(serve, q, K, prefilter=flt, **kw),
           rec_fn=lambda i: recall(i, gtik))
 
 

@@ -47,9 +47,10 @@ def test_java_symbols_exist():
 def _header_struct_fields(name: str):
     m = re.search(r"typedef struct \{([^}]*)\} " + name + ";", HEADER)
     assert m, f"{name} not in header"
+    body = re.sub(r"/\*.*?\*/", "", m.group(1), flags=re.S)
     fields = []
-    for line in m.group(1).splitlines():
-        line = re.sub(r"/\*.*?\*/", "", line).strip().rstrip(";")
+    for line in body.splitlines():
+        line = line.strip().rstrip(";")
         if not line:
             continue
         fields.append(line.split()[-1].lstrip("*"))
@@ -91,6 +92,45 @@ def test_go_struct_literals_mirror_header():
         )
 
 
+def test_go_param_structs_cover_all_header_fields():
+    """The typed per-algo Go API must set EVERY field of each param
+    struct (field-for-field parity, like the Rust check): a new header
+    field that Go silently drops fails here."""
+    go = (ROOT / "go" / "cuvs_tpu.go").read_text()
+    param_structs = [
+        "cuvsTpuIvfFlatIndexParams_t", "cuvsTpuIvfFlatSearchParams_t",
+        "cuvsTpuIvfPqIndexParams_t", "cuvsTpuIvfPqSearchParams_t",
+        "cuvsTpuCagraIndexParams_t", "cuvsTpuCagraSearchParams_t",
+    ]
+    for c_name in param_structs:
+        m = re.search(r"C\." + c_name + r"\{(.*?)\}", go, re.S)
+        assert m, f"go has no composite literal for {c_name}"
+        fields = re.findall(r"(\w+):", m.group(1))
+        assert fields == _header_struct_fields(c_name), (
+            f"go literal for {c_name} fields {fields} != header "
+            f"{_header_struct_fields(c_name)}"
+        )
+
+
+def test_go_dltensor_literals_match_dlpack():
+    """The Go DLPack literals name only real dlpack.h struct fields."""
+    go = (ROOT / "go" / "cuvs_tpu.go").read_text()
+    dl = (ROOT / "capi" / "dlpack.h").read_text()
+    for struct in ("DLManagedTensor", "DLTensor", "DLDevice", "DLDataType"):
+        m = re.search(r"C\." + struct + r"\{(.*?)\n\t*\}", go, re.S)
+        assert m, f"go has no literal for {struct}"
+        used = set(re.findall(r"(\w+):", m.group(1))) - {
+            "device_type", "device_id", "code", "bits", "lanes",
+            "data", "device", "ndim", "dtype", "shape", "strides",
+            "byte_offset", "dl_tensor",
+        }
+        # any leftover name must exist verbatim in dlpack.h
+        for f in used:
+            assert re.search(r"\b" + f + r"\b", dl), (
+                f"go {struct} literal names unknown field {f}"
+            )
+
+
 def test_go_enum_constants_exist():
     go = (ROOT / "go" / "cuvs_tpu.go").read_text()
     consts = set(re.findall(r"C\.(CUVS_TPU_[A-Z0-9_]+)", go))
@@ -105,13 +145,14 @@ def _c_struct_layout(name: str):
     layout Panama's canonical layouts would produce on LP64)."""
     m = re.search(r"typedef struct \{([^}]*)\} " + name + ";", HEADER)
     assert m, f"{name} not in header"
+    body = re.sub(r"/\*.*?\*/", "", m.group(1), flags=re.S)
     sizes = {
         "int64_t": 8, "uint64_t": 8, "double": 8, "int32_t": 4, "int": 4,
         "float": 4, "uint32_t": 4, "int8_t": 1, "uint8_t": 1,
     }
     offsets, off = {}, 0
-    for line in m.group(1).splitlines():
-        line = re.sub(r"/\*.*?\*/", "", line).strip().rstrip(";")
+    for line in body.splitlines():
+        line = line.strip().rstrip(";")
         if not line:
             continue
         toks = line.split()
@@ -147,6 +188,47 @@ def test_java_tensor_layout_matches_header():
     assert [int(s) for s in sets] == list(offsets.values()), (
         f"java tensor offsets {sets} diverge from header layout {offsets}"
     )
+
+
+def test_java_param_layouts_match_header():
+    """Each typed Java param record's hand-built Panama layout (seg())
+    must allocate the header struct's natural-LP64 size and write every
+    field at its real offset — the Java analog of the Rust field check."""
+    java = (ROOT / "java" / "src" / "main" / "java" / "com" / "cuvstpu"
+            / "CuvsTpu.java").read_text()
+    pairs = {
+        "IvfFlatIndexParams": "cuvsTpuIvfFlatIndexParams_t",
+        "IvfFlatSearchParams": "cuvsTpuIvfFlatSearchParams_t",
+        "IvfPqIndexParams": "cuvsTpuIvfPqIndexParams_t",
+        "IvfPqSearchParams": "cuvsTpuIvfPqSearchParams_t",
+        "CagraIndexParams": "cuvsTpuCagraIndexParams_t",
+        "CagraSearchParams": "cuvsTpuCagraSearchParams_t",
+    }
+    for rec, c_name in pairs.items():
+        offsets, total = _c_struct_layout(c_name)
+        m = re.search(
+            r"record " + rec + r"\(.*?a\.allocate\((\d+)\);(.*?)return s;",
+            java, re.S)
+        assert m, f"java record {rec} with seg() builder not found"
+        assert int(m.group(1)) == total, (
+            f"java allocates {m.group(1)} bytes for {c_name}, header "
+            f"layout is {total}"
+        )
+        sets = [int(s) for s in re.findall(r"s\.set\(C_\w+, (\d+),", m.group(2))]
+        assert sets == list(offsets.values()), (
+            f"java {rec} offsets {sets} diverge from header layout {offsets}"
+        )
+
+
+def test_java_typed_symbols_exist():
+    """Every typed downcall the Java binding declares exists in the header."""
+    java = (ROOT / "java" / "src" / "main" / "java" / "com" / "cuvstpu"
+            / "CuvsTpu.java").read_text()
+    for sym in ("cuvsTpuIvfFlatBuild", "cuvsTpuIvfFlatSearch",
+                "cuvsTpuIvfPqBuild", "cuvsTpuIvfPqSearch",
+                "cuvsTpuCagraBuild", "cuvsTpuCagraSearch"):
+        assert f'"{sym}"' in java, f"java missing typed downcall {sym}"
+        assert sym in HEADER_SYMS
 
 
 def test_abi_baseline_covers_binding_symbols():
