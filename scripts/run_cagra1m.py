@@ -23,6 +23,9 @@ K = 10
 IGD = int(os.environ.get("IGD", 128))
 GD = int(os.environ.get("GD", 64))
 FILTER_KEEP = float(os.environ.get("FILTER_KEEP", 0.9))
+# "auto" partitioned-exact suits <=256-dim; at GIST dims the reference-
+# typical IVF-PQ graph build keeps peak HBM bounded (cagra.hpp build_algo)
+BUILD_ALGO = os.environ.get("BUILD_ALGO", "auto")
 
 
 def main():
@@ -50,11 +53,12 @@ def main():
                                 recall_target=0.97)
     gti = np.asarray(gti)
     print("# approx-exact ground truth ready", file=sys.stderr, flush=True)
+    del bf  # free the GT index's device copies before the graph build
 
     t0 = time.time()
     index = cagra.build(
         x, intermediate_graph_degree=IGD, graph_degree=GD,
-        build_algo="auto", build_compute_dtype=jnp.bfloat16,
+        build_algo=BUILD_ALGO, build_compute_dtype=jnp.bfloat16,
         build_recall_target=0.97, seed=0,
     )
     jax.block_until_ready(index.graph)
