@@ -42,6 +42,10 @@ from cuvs_tpu.neighbors import filters as filt
 from cuvs_tpu.neighbors import ivf_common as ivf
 from cuvs_tpu.selection.select_k import select_k, topk
 
+# transient-HBM bound for the chunked residual pass in build() (tests
+# shrink it to exercise the chunked path at toy sizes)
+_RES_CHUNK_BYTES = 256 << 20
+
 
 def calculate_pq_dim(dim: int) -> int:
     """Auto pq_dim heuristic (ivf_pq_index.cu:612-622)."""
@@ -332,8 +336,22 @@ def build(dataset, params: Optional[IndexParams] = None, **kw) -> Index:
     rotation = _make_rotation(k_rot, dim, rot_dim, params.force_random_rotation)
     centers_rot = centers @ rotation.T
 
-    # residuals in rotated space
-    res = (xf - centers[labels]) @ rotation.T  # [n, rot_dim]
+    # residuals in rotated space, chunked: an unchunked
+    # (xf - centers[labels]) @ R.T holds xf + the center gather + res
+    # (3x n*dim f32) at once — at 1M x 960 that alone is ~11.5 GB and
+    # tips a 16 GB chip over; lax.map bounds the transient to one chunk
+    blk = max(1, min(n, _RES_CHUNK_BYTES // max(4 * dim, 1) // 128 * 128)) or 1
+    nb = -(-n // blk)
+    if nb > 1:
+        xp = jnp.pad(xf, ((0, nb * blk - n), (0, 0)))
+        lp = jnp.pad(labels, (0, nb * blk - n))
+        res = jax.lax.map(
+            lambda t: (t[0] - centers[t[1]]) @ rotation.T,
+            (xp.reshape(nb, blk, dim), lp.reshape(nb, blk)),
+        ).reshape(nb * blk, rot_dim)[:n]
+        del xp, lp
+    else:
+        res = (xf - centers[labels]) @ rotation.T  # [n, rot_dim]
 
     window = ivf.round_window(int(jnp.max(jnp.zeros((n_lists,), jnp.int32).at[labels].add(1))))
     order, lists = ivf.sort_by_label(labels, n_lists, pad=window)

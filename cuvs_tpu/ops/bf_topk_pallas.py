@@ -49,7 +49,13 @@ def _fused_kernel(q_ref, data_ref, out_v_ref, out_i_ref, *, k, n, tile_n, ip, ex
     if int8_mode:
         dots = jnp.dot(q, data.T, preferred_element_type=jnp.int32).astype(jnp.float32)
     else:
-        dots = jnp.dot(q, data.T, preferred_element_type=jnp.float32)  # [B, T]
+        # f32 operands at HIGHEST (6-pass MXU): this kernel's exact mode
+        # backs ground truth — the default reduced-precision f32 matmul
+        # measurably disagrees with the unfused HIGHEST path on-chip
+        prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT)
+        dots = jnp.dot(q, data.T, preferred_element_type=jnp.float32,
+                       precision=prec)  # [B, T]
     if ip:
         dist = -dots  # min-space
     else:

@@ -37,17 +37,31 @@ def main():
     print(f"# {jax.devices()} n={N} d={D} igd={IGD}->{GD}", file=sys.stderr,
           flush=True)
     key = jax.random.PRNGKey(0)
-    k1, k2, k3, k4 = jax.random.split(key, 4)
+    k1, k4 = jax.random.split(key, 2)
     r = D // 4
     proj = jax.random.normal(k1, (r, D), jnp.float32) / np.sqrt(r)
-    x = (jax.random.normal(k2, (N, r), jnp.float32) @ proj
-         + 0.05 * jax.random.normal(k3, (N, D), jnp.float32))
-    q = (jax.random.normal(k4, (NQ, r), jnp.float32) @ proj
-         + 0.05 * jax.random.normal(jax.random.PRNGKey(9), (NQ, D),
-                                    jnp.float32))
-    x = jax.block_until_ready(x)
 
-    bf = brute_force.build(x)
+    # generate in slices and keep the dataset HOST-side: at GIST dims
+    # (960) a resident f32 copy is 3.8 GB — build/search phases upload
+    # what they need, so the peak-HBM phase (the graph build) gets the
+    # whole chip
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=1)
+    def gen(key, rows):
+        kz, kn = jax.random.split(key)
+        return (jax.random.normal(kz, (rows, r), jnp.float32) @ proj
+                + 0.05 * jax.random.normal(kn, (rows, D), jnp.float32))
+
+    SL = 250_000
+    x = np.empty((N, D), np.float32)
+    for i in range(0, N, SL):
+        rows = min(SL, N - i)
+        x[i : i + rows] = np.asarray(gen(jax.random.PRNGKey(100 + i), rows))
+    q = np.asarray(gen(k4, NQ))
+
+    x16 = jnp.asarray(x, jnp.bfloat16)  # GT + refine source (1/2 HBM)
+    bf = brute_force.build(x16)
     _, gti = brute_force.search(bf, q, K, fused=True,
                                 compute_dtype=jnp.bfloat16,
                                 recall_target=0.97)
@@ -57,7 +71,7 @@ def main():
 
     t0 = time.time()
     index = cagra.build(
-        x, intermediate_graph_degree=IGD, graph_degree=GD,
+        x16, intermediate_graph_degree=IGD, graph_degree=GD,
         build_algo=BUILD_ALGO, build_compute_dtype=jnp.bfloat16,
         build_recall_target=0.97, seed=0,
     )
@@ -109,7 +123,7 @@ def main():
 
             def refined():
                 _, cand = cagra.search(serve, q, 40, **kw)
-                return refine.refine(x, q, cand, K,
+                return refine.refine(x16, q, cand, K,
                                      compute_dtype=jnp.bfloat16)
 
             bench(f"cagra_{tag}_itopk128_refine", refined)
@@ -119,12 +133,13 @@ def main():
     flt = filters.from_mask(jnp.asarray(keep))
     # filtered ground truth: exact over kept rows only
     kept_ids = np.nonzero(keep)[0]
-    xk = x[jnp.asarray(kept_ids)]
+    xk = jnp.asarray(x[kept_ids], jnp.bfloat16)
     bfk = brute_force.build(xk)
     _, gtik = brute_force.search(bfk, q, K, fused=True,
                                  compute_dtype=jnp.bfloat16,
                                  recall_target=0.97)
     gtik = kept_ids[np.asarray(gtik)]
+    del bfk, xk  # free before the filtered searches
     print("# filtered ground truth ready", file=sys.stderr, flush=True)
 
     serve, stag = layouts[0]

@@ -32,6 +32,18 @@ def test_recall_l2():
     assert recall >= 0.65, recall
 
 
+def test_chunked_residuals_match_unchunked(monkeypatch):
+    """build()'s transient-bounded residual pass (lax.map chunks, the
+    1M x 960 HBM fix) must produce the same index as the one-shot path."""
+    x, q = _data(n=4096, dim=64)
+    monkeypatch.setattr(ivf_pq, "_RES_CHUNK_BYTES", 64 * 4 * 512)  # 512-row chunks
+    idx_c = ivf_pq.build(x, n_lists=16, pq_dim=32, seed=0)
+    monkeypatch.setattr(ivf_pq, "_RES_CHUNK_BYTES", 256 << 20)
+    idx_u = ivf_pq.build(x, n_lists=16, pq_dim=32, seed=0)
+    np.testing.assert_array_equal(np.asarray(idx_c.sorted_codes),
+                                  np.asarray(idx_u.sorted_codes))
+
+
 def test_recall_with_refine():
     x, q = _data()
     idx = ivf_pq.build(x, n_lists=64, pq_dim=32, seed=0)
