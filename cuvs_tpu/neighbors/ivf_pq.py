@@ -339,19 +339,23 @@ def build(dataset, params: Optional[IndexParams] = None, **kw) -> Index:
     # residuals in rotated space, chunked: an unchunked
     # (xf - centers[labels]) @ R.T holds xf + the center gather + res
     # (3x n*dim f32) at once — at 1M x 960 that alone is ~11.5 GB and
-    # tips a 16 GB chip over; lax.map bounds the transient to one chunk
+    # tips a 16 GB chip over. Eager slice loop (not lax.map: its padded
+    # operand copy re-adds a full n*dim f32) and xf freed before the
+    # concat so peak is ~2x n*dim f32 + one chunk.
     blk = max(1, min(n, _RES_CHUNK_BYTES // max(4 * dim, 1) // 128 * 128)) or 1
-    nb = -(-n // blk)
-    if nb > 1:
-        xp = jnp.pad(xf, ((0, nb * blk - n), (0, 0)))
-        lp = jnp.pad(labels, (0, nb * blk - n))
-        res = jax.lax.map(
-            lambda t: (t[0] - centers[t[1]]) @ rotation.T,
-            (xp.reshape(nb, blk, dim), lp.reshape(nb, blk)),
-        ).reshape(nb * blk, rot_dim)[:n]
-        del xp, lp
+    if n > blk:
+        parts = []
+        for s in range(0, n, blk):
+            parts.append(
+                (xf[s : s + blk] - centers[labels[s : s + blk]])
+                @ rotation.T
+            )
+        del xf
+        res = jnp.concatenate(parts, axis=0)
+        del parts
     else:
         res = (xf - centers[labels]) @ rotation.T  # [n, rot_dim]
+        del xf
 
     window = ivf.round_window(int(jnp.max(jnp.zeros((n_lists,), jnp.int32).at[labels].add(1))))
     order, lists = ivf.sort_by_label(labels, n_lists, pad=window)

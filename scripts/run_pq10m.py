@@ -35,6 +35,9 @@ K = 10
 N_LISTS = int(os.environ.get("N_LISTS", 4096))
 CAND = int(os.environ.get("CAND", 40))
 PQ_DIM = int(os.environ.get("PQ_DIM", 48))
+# 4-bit x pq_dim=96 = the same 48 B/vec as 8-bit x 48, but the fused
+# scan's ADC floor (S*book MACs/row) drops 8x: book 256 -> 16
+PQ_BITS = int(os.environ.get("PQ_BITS", 8))
 SLICE = int(os.environ.get("SLICE", 1_000_000))
 
 
@@ -80,7 +83,7 @@ def main():
     t0 = time.time()
     idx = ivf_pq.build_streaming(
         lambda i: host[i * SLICE : (i + 1) * SLICE],
-        n_slices, n_lists=N_LISTS, pq_dim=PQ_DIM, seed=0,
+        n_slices, n_lists=N_LISTS, pq_dim=PQ_DIM, pq_bits=PQ_BITS, seed=0,
     )
     jax.block_until_ready(idx.sorted_codes_t)
     print(f"# build: {time.time()-t0:.0f}s window={idx.window}",
