@@ -82,6 +82,10 @@ def _unify_windows(module, indexes):
             kw["sorted_norms"] = pad1(ix.sorted_norms)
         if hasattr(ix, "sorted_codes"):
             kw["sorted_codes"] = pad1(ix.sorted_codes)
+        if getattr(ix, "sorted_codes_t", None) is not None:
+            # fused serving layout: rows live on AXIS 1 ([words, n+W])
+            kw["sorted_codes_t"] = jnp.pad(ix.sorted_codes_t, ((0, 0), (0, extra)))
+            kw["sorted_code_norms"] = pad1(ix.sorted_code_norms)
         out.append(ix.replace(**kw))
     return out
 
@@ -285,23 +289,27 @@ def build_streaming(
     trainset_rows: int = 2_000_000,
     kmeans_n_iters: int = 10,
     seed: int = 0,
+    algo: str = "ivf_flat",
+    **algo_kw,
 ) -> MGIndex:
-    """Sharded streaming IVF-Flat build for datasets exceeding
+    """Sharded streaming IVF build for datasets exceeding
     n_chips x HBM (the tier-4 scale story in docs/scale.md).
 
     Contiguous groups of host slices are assigned per shard; each shard
-    index is built with ``ivf_flat.build_streaming`` (int8, lane-aligned
-    rows) and committed to its owning device as soon as it finishes, so
-    the build device only ever holds ONE shard's index (~total/n_chips)
-    at a time — the full dataset is never gathered on one device or
-    materialized on the host beyond one slice.
+    index is built with ``<algo>.build_streaming`` (ivf_flat: int8
+    lane-aligned rows; ivf_pq: packed PQ codes — mg_ivf_pq.h analog) and
+    committed to its owning device as soon as it finishes, so the build
+    device only ever holds ONE shard's index (~total/n_chips) at a time —
+    the full dataset is never gathered on one device or materialized on
+    the host beyond one slice.
     Reference analog: per-rank independent builds, snmg.cuh:127-166,
     composed with the streaming/out-of-core pipelines (each shard trains
     its own coarse quantizer over its rows, like the per-rank builds).
 
     ``slice_provider(i) -> [rows, d]`` host numpy array, i in
     [0, n_slices); may be called up to 3x per slice. ``trainset_rows``
-    and ``n_lists`` apply PER SHARD.
+    and ``n_lists`` apply PER SHARD. ``algo_kw`` passes through to the
+    per-shard builder (e.g. pq_dim/pq_bits for ivf_pq).
     """
     from cuvs_tpu.distance.pairwise import DistanceType
 
@@ -309,6 +317,9 @@ def build_streaming(
         metric = DistanceType.L2Expanded
     if mesh is None:
         mesh = default_mesh()
+    if algo not in ("ivf_flat", "ivf_pq"):
+        raise ValueError(f"build_streaming supports ivf_flat/ivf_pq, got {algo}")
+    module = _ALGOS[algo]
     n_shards = mesh.devices.size
     if n_slices < n_shards:
         raise ValueError(
@@ -321,7 +332,7 @@ def build_streaming(
     subs, counts = [], []
     for s in range(n_shards):
         lo, hi = s * per, min((s + 1) * per, n_slices)
-        sub = ivf_flat.build_streaming(
+        sub = module.build_streaming(
             lambda i, lo=lo: slice_provider(lo + i),
             hi - lo,
             n_lists=n_lists,
@@ -329,6 +340,7 @@ def build_streaming(
             trainset_rows=trainset_rows,
             kmeans_n_iters=kmeans_n_iters,
             seed=seed,
+            **algo_kw,
         )
         # commit the shard to its device NOW so the build device only ever
         # holds the shard under construction (cached jit executables pin
@@ -339,7 +351,7 @@ def build_streaming(
         )
         subs.append(sub)
         counts.append(sub.n_rows)
-    subs = _unify_windows(ivf_flat, subs)
+    subs = _unify_windows(module, subs)
     subs = _unify_rows(subs)
     # re-commit after padding (pads on shards that needed them ran where
     # XLA placed them; stacking requires exact per-device placement)
@@ -367,32 +379,26 @@ def build_streaming(
     return MGIndex(
         shards=shards,
         row_offsets=jnp.asarray(offsets, jnp.int32),
-        algo="ivf_flat",
+        algo=algo,
         mode="sharded",
         n_rows=int(sum(counts)),
     )
 
 
 def _unify_rows(indexes):
-    """Pad IVF-Flat shard indexes to a common row count so their pytree
-    structures (static ``n_rows``) match for stacking. Padded tail rows
-    live past every list's window and are never scanned or returned."""
-    from cuvs_tpu.neighbors.ivf_flat import _norm_pad_len
-
+    """Pad IVF shard indexes (Flat or PQ) to a common row count so their
+    pytree structures (static ``n_rows``) match for stacking. Padded tail
+    rows live past every list's window and are never scanned or returned."""
     n_max = max(ix.n_rows for ix in indexes)
-    data_len = max(ix.sorted_data.shape[0] for ix in indexes)
+    rows_of = (lambda ix: ix.sorted_data.shape[0]) \
+        if hasattr(indexes[0], "sorted_data") \
+        else (lambda ix: ix.sorted_codes.shape[0])
+    data_len = max(rows_of(ix) for ix in indexes)
     data_len = max(data_len, n_max + indexes[0].window)
-    norm_len = max(ix.sorted_norms.shape[0] for ix in indexes)
-    norm_len = max(norm_len, _norm_pad_len(n_max, indexes[0].window))
     out = []
     for ix in indexes:
-        out.append(ix.replace(
+        kw = dict(
             n_rows=n_max,
-            sorted_data=jnp.pad(
-                ix.sorted_data,
-                ((0, data_len - ix.sorted_data.shape[0]), (0, 0))),
-            sorted_norms=jnp.pad(
-                ix.sorted_norms, (0, norm_len - ix.sorted_norms.shape[0])),
             lists=ix.lists._replace(
                 labels=jnp.pad(
                     ix.lists.labels,
@@ -401,7 +407,30 @@ def _unify_rows(indexes):
                 ids=jnp.pad(
                     ix.lists.ids, (0, data_len - ix.lists.ids.shape[0])),
             ),
-        ))
+        )
+        if hasattr(ix, "sorted_data"):
+            from cuvs_tpu.neighbors.ivf_flat import _norm_pad_len
+
+            norm_len = max(
+                max(j.sorted_norms.shape[0] for j in indexes),
+                _norm_pad_len(n_max, indexes[0].window))
+            kw["sorted_data"] = jnp.pad(
+                ix.sorted_data,
+                ((0, data_len - ix.sorted_data.shape[0]), (0, 0)))
+            kw["sorted_norms"] = jnp.pad(
+                ix.sorted_norms, (0, norm_len - ix.sorted_norms.shape[0]))
+        if hasattr(ix, "sorted_codes"):
+            kw["sorted_codes"] = jnp.pad(
+                ix.sorted_codes,
+                ((0, data_len - ix.sorted_codes.shape[0]), (0, 0)))
+        if getattr(ix, "sorted_codes_t", None) is not None:
+            kw["sorted_codes_t"] = jnp.pad(
+                ix.sorted_codes_t,
+                ((0, 0), (0, data_len - ix.sorted_codes_t.shape[1])))
+            kw["sorted_code_norms"] = jnp.pad(
+                ix.sorted_code_norms,
+                (0, data_len - ix.sorted_code_norms.shape[0]))
+        out.append(ix.replace(**kw))
     return out
 
 

@@ -630,7 +630,6 @@ def search(
 
     nq = queries.shape[0]
     algo = params.scan_algo
-    traced_ctx = isinstance(queries, jax.core.Tracer)
     metric = index.metric
     if params.metric_udf is not None:
         # search-time metric UDF: traced into the unfused scans; the
@@ -638,12 +637,14 @@ def search(
         metric = params.metric_udf
         if algo in ("auto", "fused"):
             algo = ("cluster_major"
-                    if nq * n_probes >= 4 * index.n_lists and not traced_ctx
+                    if nq * n_probes >= 4 * index.n_lists
                     else "query_major")
     if algo == "auto":
-        # cluster-major sizes its slot axis with a host-side sync, so it is
-        # unavailable under an outer trace (e.g. mg shard_map)
-        if nq * n_probes >= 4 * index.n_lists and not traced_ctx:
+        # both fused and cluster_major derive their tile geometry
+        # statically (group_pairs_tiled, no host occupancy sync), so they
+        # stay available under an outer trace — mg shard_map ranks run
+        # the SAME fused kernels as single-chip (snmg.cuh:283 parity)
+        if nq * n_probes >= 4 * index.n_lists:
             algo = (
                 "fused"
                 if (

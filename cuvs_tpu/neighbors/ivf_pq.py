@@ -825,21 +825,26 @@ def search(
             DistanceType.L2SqrtExpanded,
             DistanceType.InnerProduct,
         )
-        and not traced_ctx
     )
     if algo == "auto":
-        # cluster-major sizes its slot axis with a host-side sync, so it is
-        # unavailable under an outer trace (e.g. mg shard_map)
-        if nq * n_probes >= 4 * index.n_lists and not traced_ctx:
-            algo = (
-                "fused"
-                if fused_ok and jax.default_backend() == "tpu"
-                else "cluster_major"
-            )
+        # the fused kernel's geometry is static (group_pairs_tiled), so
+        # it stays available under an outer trace (mg shard_map —
+        # snmg.cuh:283 parity: ranks run the same fused kernels as
+        # single-chip). The unfused cluster-major path sizes its slot
+        # axis with a host-side occupancy sync and needs concrete queries.
+        if nq * n_probes >= 4 * index.n_lists:
+            if fused_ok and jax.default_backend() == "tpu":
+                algo = "fused"
+            elif not traced_ctx:
+                algo = "cluster_major"
+            else:
+                algo = "query_major"
         else:
             algo = "query_major"
     if algo == "fused" and not fused_ok:
-        algo = "cluster_major"
+        algo = "cluster_major" if not traced_ctx else "query_major"
+    if algo == "cluster_major" and traced_ctx:
+        algo = "query_major"  # needs the host occupancy sync
     if algo == "fused":
         from cuvs_tpu.neighbors import ivf_scan
 

@@ -313,7 +313,8 @@ def search(
     n_probes = min(params.n_probes, index.n_lists)
 
     algo = params.scan_algo
-    traced_ctx = isinstance(queries, jax.core.Tracer)
+    # fused geometry is static (group_pairs_tiled) — available under an
+    # outer trace (mg shard_map), same as ivf_flat/ivf_pq
     fused_ok = (
         index.sorted_codes_t is not None
         and index.metric in (
@@ -321,7 +322,6 @@ def search(
             DistanceType.L2SqrtExpanded,
             DistanceType.InnerProduct,
         )
-        and not traced_ctx
     )
     if algo == "auto":
         algo = (

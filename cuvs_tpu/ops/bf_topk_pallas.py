@@ -179,7 +179,12 @@ def fused_bf_topk(
         _fused_kernel, k=k, n=N, tile_n=tile_n, ip=ip, exact=exact
     )
     if exact:
-        # small-N path: per-tile top-k blocks laid out [n_tiles, B, k]
+        # small-N path: per-tile top-k blocks laid out [n_tiles, B, k].
+        # The f32/HIGHEST dist block ([block_q, tile_n] f32 twice: dist +
+        # neg working copy) lives on the kernel's VMEM stack — at the
+        # 1024x2048 default that is ~18M, over the 16M default scoped
+        # limit (the r4 driver OOM, BENCH_r04.json). Raise the scoped
+        # limit like the approx path does (:242-244).
         out_v, out_i = pl.pallas_call(
             kernel,
             grid=grid,
@@ -195,6 +200,9 @@ def fused_bf_topk(
                 jax.ShapeDtypeStruct((n_tiles, B + pad_b, F), jnp.float32),
                 jax.ShapeDtypeStruct((n_tiles, B + pad_b, F), jnp.int32),
             ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
             interpret=interpret,
         )(q, data)
         pool_v = jnp.moveaxis(out_v, 0, 1).reshape(B + pad_b, n_tiles * F)[:B]
@@ -315,6 +323,22 @@ def search(
             tile_n = int(min(tile_n, max(4096, cap_rows // 128 * 128)))
     block_q = int(min(block_q, max(8, qf.shape[0])))
     tile_n = int(min(tile_n, max(128, dataset.shape[0])))
+    if exact:
+        # keep the kernel's VMEM footprint under the raised 100M scoped
+        # limit: dist+neg stack (2 * block_q * tile_n * 4) dominates;
+        # operands are double-buffered on top
+        isz = 1 if q_scale is not None else jnp.dtype(compute_dtype).itemsize
+        d_ = int(dataset.shape[1])
+
+        def _foot(bq, tn):
+            return (2 * bq * tn * 4
+                    + 2 * tn * d_ * isz + 2 * bq * d_ * isz
+                    + 4 * bq * int(k) * 4)
+
+        while block_q > 128 and _foot(block_q, tile_n) > 88 * 1024 * 1024:
+            block_q //= 2
+        while tile_n > 512 and _foot(block_q, tile_n) > 88 * 1024 * 1024:
+            tile_n //= 2
     if q_scale is not None:
         qq = jnp.clip(jnp.round(qf / q_scale), -127, 127).astype(jnp.int8)
         dd = jnp.asarray(dataset)

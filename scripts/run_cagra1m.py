@@ -60,13 +60,15 @@ def main():
         x[i : i + rows] = np.asarray(gen(jax.random.PRNGKey(100 + i), rows))
     q = np.asarray(gen(k4, NQ))
 
-    x16 = jnp.asarray(x, jnp.bfloat16)  # GT + refine source (1/2 HBM)
-    bf = brute_force.build(x16)
-    _, gti = brute_force.search(bf, q, K, fused=True,
-                                compute_dtype=jnp.bfloat16,
-                                recall_target=0.97)
-    gti = np.asarray(gti)
-    print("# approx-exact ground truth ready", file=sys.stderr, flush=True)
+    from cuvs_tpu.bench.gt import exact_ground_truth
+
+    x16 = jnp.asarray(x, jnp.bfloat16)  # refine source (1/2 HBM)
+    # EXACT f32 ground truth + unfused cross-check (a >=0.95 recall floor
+    # asserted against approximate GT would be soft) — bf index built over
+    # the f32 host copy; freed before the graph build
+    bf = brute_force.build(jnp.asarray(x))
+    gti = exact_ground_truth(bf, q, K)
+    print("# exact ground truth ready", file=sys.stderr, flush=True)
     del bf  # free the GT index's device copies before the graph build
 
     t0 = time.time()
@@ -133,12 +135,9 @@ def main():
     flt = filters.from_mask(jnp.asarray(keep))
     # filtered ground truth: exact over kept rows only
     kept_ids = np.nonzero(keep)[0]
-    xk = jnp.asarray(x[kept_ids], jnp.bfloat16)
-    bfk = brute_force.build(xk)
-    _, gtik = brute_force.search(bfk, q, K, fused=True,
-                                 compute_dtype=jnp.bfloat16,
-                                 recall_target=0.97)
-    gtik = kept_ids[np.asarray(gtik)]
+    bfk = brute_force.build(jnp.asarray(x[kept_ids]))
+    gtik = kept_ids[exact_ground_truth(bfk, q, K)]
+    xk = None
     del bfk, xk  # free before the filtered searches
     print("# filtered ground truth ready", file=sys.stderr, flush=True)
 

@@ -207,3 +207,62 @@ def test_streaming_sharded_build():
     d, i = mg.search(idx, q, 10, mesh=mesh, n_probes=16)
     gtd, gti = naive_knn(q, x, 10)
     assert calc_recall(np.asarray(i), gti) >= 0.85
+
+
+@pytest.mark.parametrize("algo", ["ivf_flat", "ivf_pq"])
+def test_sharded_search_runs_fused_scan(algo, monkeypatch):
+    """mg sharded search reaches the FUSED Pallas scans under shard_map
+    (snmg.cuh:283 parity: SNMG ranks run the same fused kernels locally
+    as single-GPU). The fused geometry is static (group_pairs_tiled), so
+    scan_algo="fused" survives the traced context; interpret mode runs
+    it on the CPU mesh."""
+    from cuvs_tpu.neighbors import ivf_scan
+
+    called = {"n": 0}
+    target = ("cluster_major_scan_fused" if algo == "ivf_flat"
+              else "cluster_major_scan_pq_fused")
+    orig = getattr(ivf_scan, target)
+
+    def spy(*a, **kw):
+        called["n"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(ivf_scan, target, spy)
+
+    n = 4096
+    x = (RNG.standard_normal((n, 32)) * 2).astype(np.float32)
+    q = (RNG.standard_normal((128, 32)) * 2).astype(np.float32)
+    kw = dict(n_lists=8, seed=0)
+    if algo == "ivf_pq":
+        kw["pq_dim"] = 8
+    idx = mg.build(x, algo=algo, mode="sharded", **kw)
+    d, i = mg.search(idx, q, 10, n_probes=8, scan_algo="fused")
+    assert called["n"] >= 1, "fused scan not reached under shard_map"
+    gtd, gti = naive_knn(q, x, 10)
+    floor = 0.95 if algo == "ivf_flat" else 0.70  # PQ is approximate
+    assert calc_recall(np.asarray(i), gti, np.asarray(d), gtd) >= floor
+
+
+def test_streaming_sharded_build_ivf_pq():
+    """mg.build_streaming(algo="ivf_pq"): per-shard streaming PQ builds
+    (mg_ivf_pq.h analog) searched through shard_map + merge, re-ranked
+    with an exact refine — the BASELINE config-5 composition."""
+    from cuvs_tpu.neighbors import refine
+
+    rng = np.random.default_rng(11)
+    slices = [rng.standard_normal((600, 48), dtype=np.float32)
+              for _ in range(16)]
+    x = np.concatenate(slices)
+    q = x[rng.integers(0, x.shape[0], 48)] + 0.01 * rng.standard_normal(
+        (48, 48)).astype(np.float32)
+    mesh = mg.default_mesh()
+    idx = mg.build_streaming(lambda i: slices[i], 16, mesh=mesh,
+                             algo="ivf_pq", n_lists=8, pq_dim=12,
+                             trainset_rows=1200)
+    assert idx.algo == "ivf_pq"
+    assert idx.n_rows == x.shape[0]
+    d, i = mg.search(idx, q, 40, mesh=mesh, n_probes=8)
+    dd, ii = refine.refine(x, q, np.asarray(i), 10)
+    gtd, gti = naive_knn(q, x, 10)
+    rec = calc_recall(np.asarray(ii), gti, np.asarray(dd), gtd)
+    assert rec >= 0.9, rec
