@@ -142,7 +142,9 @@ class SearchParams:
     # hashmap, hashmap.hpp:23-60): ids expanded in the last visited_size
     # expansions cannot re-enter the itopk, so beam slots are not wasted
     # re-expanding nodes that were evicted and re-proposed. 0 = auto
-    # (covers every expansion the iteration budget allows, capped at 256).
+    # (covers every expansion the iteration budget allows, capped at
+    # 256); -1 = ring OFF (dedup against the itopk only — the cheaper
+    # pre-r4 behavior, for measuring the ring's recall/VPU trade-off).
     visited_size: int = 0
 
 
@@ -320,7 +322,7 @@ def _search_chunk_packed(
     seed_d = jnp.where(jnp.any(jnp.logical_and(eq, earlier[None]), axis=2), jnp.inf, seed_d)
     sv, sid = lax.sort((seed_d, seeds), dimension=1, num_keys=1)
     state_v, state_id = sv[:, :L], sid[:, :L]
-    vis0 = jnp.full((B, vis_size), -2, jnp.int32)
+    vis0 = jnp.full((B, max(vis_size, 1)), -2, jnp.int32)
 
     def cond(st):
         state_v, state_id, vis, it = st
@@ -343,10 +345,11 @@ def _search_chunk_packed(
         ].set(jnp.where(sel, raw_id, -1), mode="drop")[:, :W]
         parent_valid = parent_ids >= 0
         state_id = jnp.where(sel, state_id | EXPLORED, state_id)
-        pos = (it * W + jnp.arange(W, dtype=jnp.int32)) % vis_size
-        vis = vis.at[jnp.arange(B)[:, None], pos[None, :]].set(
-            jnp.where(parent_valid, parent_ids, -2)
-        )
+        if vis_size > 0:  # ring OFF (visited_size=-1): skip the update
+            pos = (it * W + jnp.arange(W, dtype=jnp.int32)) % vis_size
+            vis = vis.at[jnp.arange(B)[:, None], pos[None, :]].set(
+                jnp.where(parent_valid, parent_ids, -2)
+            )
 
         safe_p = jnp.where(parent_valid, parent_ids, 0)
         children = graph[safe_p].reshape(B, C)
@@ -355,14 +358,14 @@ def _search_chunk_packed(
         children = jnp.where(jnp.repeat(parent_valid, deg, axis=1), children, -1)
 
         dup_itopk = jnp.any(children[:, :, None] == raw_id[:, None, :], axis=2)
-        dup_vis = jnp.any(children[:, :, None] == vis[:, None, :], axis=2)
         ceq = children[:, :, None] == children[:, None, :]
         c_earlier = jnp.tril(jnp.ones((C, C), bool), k=-1)
         dup_within = jnp.any(jnp.logical_and(ceq, c_earlier[None]), axis=2)
         invalid = jnp.logical_or(
-            children < 0,
-            jnp.logical_or(dup_itopk, jnp.logical_or(dup_vis, dup_within)),
-        )
+            children < 0, jnp.logical_or(dup_itopk, dup_within))
+        if vis_size > 0:
+            dup_vis = jnp.any(children[:, :, None] == vis[:, None, :], axis=2)
+            invalid = jnp.logical_or(invalid, dup_vis)
 
         dots = lax.dot_general(
             qc[:, None, :], cvecs, (((2,), (2,)), ((0,), (0,))),
@@ -548,7 +551,7 @@ def _search_chunk(
     state_id = sid[:, :L]  # unexplored (flag clear)
     # visited ring (hashmap.hpp:23-60 analog): last vis_size expanded ids;
     # -2 fill so it never matches a real id or the -1 padding sentinel
-    vis0 = jnp.full((B, vis_size), -2, jnp.int32)
+    vis0 = jnp.full((B, max(vis_size, 1)), -2, jnp.int32)
 
     def cond(st):
         state_v, state_id, vis, it = st
@@ -577,11 +580,13 @@ def _search_chunk(
         parent_valid = parent_ids >= 0
         # mark explored
         state_id = jnp.where(sel, state_id | EXPLORED, state_id)
-        # record the expansions in the visited ring
-        pos = (it * search_width + jnp.arange(search_width, dtype=jnp.int32)) % vis_size
-        vis = vis.at[jnp.arange(B)[:, None], pos[None, :]].set(
-            jnp.where(parent_valid, parent_ids, -2)
-        )
+        # record the expansions in the visited ring (skipped when the
+        # ring is off, visited_size=-1)
+        if vis_size > 0:
+            pos = (it * search_width + jnp.arange(search_width, dtype=jnp.int32)) % vis_size
+            vis = vis.at[jnp.arange(B)[:, None], pos[None, :]].set(
+                jnp.where(parent_valid, parent_ids, -2)
+            )
 
         # gather children
         children = graph[jnp.where(parent_valid, parent_ids, 0)].reshape(B, C)
@@ -592,14 +597,14 @@ def _search_chunk(
         # candidate block (pairwise compares, no sorts — all VPU work that
         # fuses with the masking)
         dup_itopk = jnp.any(children[:, :, None] == raw_id[:, None, :], axis=2)
-        dup_vis = jnp.any(children[:, :, None] == vis[:, None, :], axis=2)
         ceq = children[:, :, None] == children[:, None, :]  # [B, C, C]
         c_earlier = jnp.tril(jnp.ones((C, C), bool), k=-1)
         dup_within = jnp.any(jnp.logical_and(ceq, c_earlier[None]), axis=2)
         invalid = jnp.logical_or(
-            children < 0,
-            jnp.logical_or(dup_itopk, jnp.logical_or(dup_vis, dup_within)),
-        )
+            children < 0, jnp.logical_or(dup_itopk, dup_within))
+        if vis_size > 0:
+            dup_vis = jnp.any(children[:, :, None] == vis[:, None, :], axis=2)
+            invalid = jnp.logical_or(invalid, dup_vis)
 
         cand_d = _distances_to(
             data_pack, dataset_norms, qc, qnorm, jnp.maximum(children, 0), metric, compute_dtype
@@ -656,9 +661,12 @@ def search(
     itopk = max(params.itopk_size, k)
     max_iter = params.max_iterations or max(10, itopk // max(params.search_width, 1) + 10)
     # visited ring: auto = cover every expansion the budget allows (so the
-    # ring never wraps), capped at 256 slots of compare work per candidate
+    # ring never wraps), capped at 256 slots of compare work per candidate;
+    # visited_size=-1 turns the ring off (itopk-only dedup)
     vis_size = params.visited_size or min(256, max(
         32, 1 << (max_iter * params.search_width - 1).bit_length()))
+    if params.visited_size < 0:
+        vis_size = -1
     key = jax.random.PRNGKey(seed)
 
     chunk = int(min(params.query_chunk, max(8, nq)))

@@ -96,6 +96,8 @@ def main():
             for a, b in zip(np.asarray(i), gt)
         ]))
 
+    rows = []
+
     def bench(label, fn, rec_fn=recall):
         _, di = fn()
         rec = rec_fn(np.asarray(di))
@@ -106,6 +108,8 @@ def main():
         jax.block_until_ready(out[0])
         qps = NQ * reps / (time.time() - t0)
         print(f"{label}: recall@10={rec:.4f} qps={qps:.0f}", flush=True)
+        rows.append({"config": label, "recall@10": round(rec, 4),
+                     "qps": round(qps, 1)})
         return rec
 
     layouts = ([(packed, "packed")] if packed is not None else []) + [(index, "std")]
@@ -147,6 +151,25 @@ def main():
     bench(f"cagra_{stag}_itopk128_filtered{FILTER_KEEP}",
           lambda: cagra.search(serve, q, K, prefilter=flt, **kw),
           rec_fn=lambda i: recall(i, gtik))
+
+    # visited-ring trade-off, measured ON-CHIP (hashmap.hpp HASH vs SMALL
+    # analog): ring on (auto) vs off (visited_size=-1) at itopk 64/128
+    if os.environ.get("RING_SWEEP", "1") == "1":
+        for itopk in (64, 128):
+            for vs, vtag in ((0, "ring"), (-1, "noring")):
+                kw = dict(itopk_size=itopk, search_width=2, query_chunk=NQ,
+                          compute_dtype=jnp.bfloat16, visited_size=vs)
+                bench(f"cagra_{stag}_itopk{itopk}_{vtag}",
+                      lambda: cagra.search(serve, q, K, **kw))
+
+    import json
+
+    out = os.environ.get("OUT_JSON", "")
+    if out:
+        with open(out, "w") as f:
+            json.dump({"n": N, "dim": D, "nq": NQ, "igd": IGD, "gd": GD,
+                       "build_algo": BUILD_ALGO, "rows": rows}, f, indent=1)
+        print(f"# wrote {out}", file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":

@@ -60,7 +60,8 @@ def main():
             f"stage the dataset first: GEN_ONLY=1 python scripts/run_100m.py"
             f" (missing {CACHE})")
     x = np.lib.format.open_memmap(CACHE, mode="r")
-    assert x.shape == (N, D), x.shape
+    assert x.shape[0] >= N and x.shape[1] == D, x.shape
+    x = x[:N]  # N_ROWS < cache rows = reduced smoke run
 
     rng = np.random.Generator(np.random.SFC64(123))
     # queries near dataset rows so recall@10 is a meaningful signal
@@ -122,6 +123,79 @@ def main():
                 "search_s": round(time.time() - t0, 1),
                 "build_s": round(build_s, 1)}
         print(json.dumps(line), flush=True)
+
+    # ---- exact re-rank arm (refine_host.hpp analog): int8 shard ranking
+    # proposes CAND candidates through the mg merge; the exact f32 re-rank
+    # gathers only candidate rows from the host memmap. This is the
+    # BASELINE config-5 >=0.95 floor row at full 100M shape. ----
+    from cuvs_tpu.neighbors import refine as _refine
+
+    CAND = int(os.environ.get("CAND", 40))
+    for p in (48,):
+        t0 = time.time()
+        _, cand = mg.search(idx, jnp.asarray(q), CAND, n_probes=p)
+        _, ri = _refine.refine_host(x, q, np.asarray(cand), K)
+        rec = recall(ri)
+        line = {"phase": "mg_ivf_flat_100m_refined", "n": N, "shards": 8,
+                "rows_per_shard": int(per_shard[1]), "n_probes": p,
+                "cand": CAND, "recall@10": round(rec, 4),
+                "search_s": round(time.time() - t0, 1)}
+        print(json.dumps(line), flush=True)
+
+    # ---- fused-scan arm: the SAME fused Pallas kernel single-chip serves
+    # with, reached under shard_map (snmg.cuh:283 parity; interpret mode
+    # on the CPU mesh) ----
+    if os.environ.get("FUSED_ARM", "1") == "1":
+        t0 = time.time()
+        d, i = mg.search(idx, jnp.asarray(q), K, n_probes=16,
+                         scan_algo="fused")
+        jax.block_until_ready(d)
+        rec = recall(i)
+        line = {"phase": "mg_ivf_flat_100m_fused_scan", "n": N, "shards": 8,
+                "n_probes": 16, "recall@10": round(rec, 4),
+                "search_s": round(time.time() - t0, 1)}
+        print(json.dumps(line), flush=True)
+
+    del idx
+
+    # ---- mg IVF-PQ arm (config 5 names sharded CAGRA + IVF-PQ;
+    # mg_ivf_pq.h + snmg.cuh:127-166): per-shard streaming PQ build,
+    # merge, then exact host re-rank ----
+    if os.environ.get("IVF_PQ", "1") == "1":
+        t0 = time.time()
+        idx_pq = mg.build_streaming(
+            lambda i: x[i * SLICE : (i + 1) * SLICE],
+            n_slices,
+            algo="ivf_pq",
+            n_lists=N_LISTS,
+            pq_dim=int(os.environ.get("PQ_DIM", 48)),
+            trainset_rows=250_000,
+            kmeans_n_iters=4,
+            seed=0,
+        )
+        jax.block_until_ready(idx_pq.shards.sorted_codes)
+        build_pq_s = time.time() - t0
+        print(f"# mg ivf_pq build: {build_pq_s:.0f}s", file=sys.stderr,
+              flush=True)
+        for p in (16, 48):
+            t0 = time.time()
+            d, i = mg.search(idx_pq, jnp.asarray(q), K, n_probes=p)
+            jax.block_until_ready(d)
+            rec = recall(i)
+            line = {"phase": "mg_ivf_pq_100m", "n": N, "shards": 8,
+                    "n_probes": p, "recall@10": round(rec, 4),
+                    "search_s": round(time.time() - t0, 1),
+                    "build_s": round(build_pq_s, 1)}
+            print(json.dumps(line), flush=True)
+        t0 = time.time()
+        _, cand = mg.search(idx_pq, jnp.asarray(q), CAND, n_probes=48)
+        _, ri = _refine.refine_host(x, q, np.asarray(cand), K)
+        rec = recall(ri)
+        line = {"phase": "mg_ivf_pq_100m_refined", "n": N, "shards": 8,
+                "n_probes": 48, "cand": CAND, "recall@10": round(rec, 4),
+                "search_s": round(time.time() - t0, 1)}
+        print(json.dumps(line), flush=True)
+        del idx_pq
 
     if os.environ.get("CAGRA", "1") == "1":
         n2 = min(1_000_000, N)

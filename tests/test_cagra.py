@@ -272,3 +272,20 @@ def test_from_hnsw_params_builds():
     d, i = cagra.search(idx, q, 5, itopk_size=32)
     gtd, gti = naive_knn(q, x, 5)
     assert calc_recall(np.asarray(i), gti, np.asarray(d), gtd) >= 0.8
+
+
+def test_visited_ring_off():
+    """visited_size=-1 disables the ring (itopk-only dedup, the cheaper
+    pre-r4 behavior); results stay valid and near the ring-on recall, and
+    no duplicates appear in the output."""
+    x, q = _data(8000, 32, 50)
+    idx = cagra.build(x, intermediate_graph_degree=48, graph_degree=24, seed=0)
+    gtd, gti = naive_knn(q, x, 10)
+    _, i_on = cagra.search(idx, q, 10, itopk_size=64, search_width=2)
+    _, i_off = cagra.search(idx, q, 10, itopk_size=64, search_width=2,
+                            visited_size=-1)
+    r_on = calc_recall(np.asarray(i_on), gti)
+    r_off = calc_recall(np.asarray(i_off), gti)
+    assert r_off >= r_on - 0.05, (r_on, r_off)
+    for row in np.asarray(i_off):
+        assert len(set(row.tolist())) == len(row)
