@@ -73,35 +73,30 @@ def _reverse_graph(graph: jnp.ndarray, rev_degree: int):
 
     Returns (rev [n, rev_degree] int32, valid [n, rev_degree] bool).
 
-    Sort-free: a global argsort over all n*D edges is hostile to the TPU
-    (XLA lowers flat mega-sorts to huge bitonic programs that are slow to
-    compile and run). Instead each of the ``rev_degree`` output slots is
-    one scatter-min round: every still-available edge (src -> dst, rank j)
-    offers the key ``j*n + src`` (rank-major, unique) to its head node;
-    the per-node minimum IS the next-best reverse source (``key % n``),
-    exactly matching the (rank, src) lexicographic order of the
-    reference's sorted atomic append (graph_core.cuh:178).
+    One ``lax.sort`` over the flat edge list, keys ``(dst, j*n + src)``
+    (the second is rank-major and unique), then each head node GATHERS
+    the first ``rev_degree`` entries of its segment — matching the
+    (rank, src) lexicographic order of the reference's sorted atomic
+    append (graph_core.cuh:178). Gather-only on purpose: the previous
+    formulation (rev_degree scatter-min rounds under lax.scan) hit a
+    reproducible TPU kernel fault at 1M x 64 (the 64M-update scatter),
+    and the sort runs 0.8 s warm at that shape where the rounds took
+    minutes at 100k-scale extrapolation.
     """
     n, D = graph.shape
     if n * D >= (1 << 31):
         raise ValueError("reverse graph too large for int32 keys; shard first")
-    BIG = jnp.int32(2147483647)
     src = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, D))
     key0 = jnp.arange(D, dtype=jnp.int32)[None, :] * n + src  # [n, D] unique
-    dst = graph
-
-    def round_fn(avail, _):
-        key = jnp.where(avail, key0, BIG)
-        best = jnp.full((n,), BIG, jnp.int32).at[dst.reshape(-1)].min(key.reshape(-1))
-        win = jnp.logical_and(key == best[dst], key < BIG)
-        rev_src = jnp.where(best < BIG, best % n, -1)
-        return jnp.logical_and(avail, jnp.logical_not(win)), rev_src
-
-    _, rev_t = lax.scan(
-        round_fn, jnp.ones((n, D), bool), None, length=rev_degree
-    )  # [rev_degree, n]
-    rev = rev_t.T
-    return rev, rev >= 0
+    dst_s, key_s = lax.sort((graph.reshape(-1), key0.reshape(-1)), num_keys=2)
+    ids = jnp.arange(n, dtype=jnp.int32)
+    start = jnp.searchsorted(dst_s, ids, side="left")
+    end = jnp.searchsorted(dst_s, ids, side="right")
+    pos = start[:, None] + jnp.arange(rev_degree, dtype=jnp.int32)[None, :]
+    valid = pos < end[:, None]
+    kk = key_s[jnp.clip(pos, 0, n * D - 1)]
+    rev = jnp.where(valid, kk % n, -1)
+    return rev, valid
 
 
 @functools.partial(jax.jit, static_argnames=("out_degree",))
