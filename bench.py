@@ -131,12 +131,12 @@ def main():
     # fused Pallas kernel: quick tile-geometry autotune (the best config
     # varies a few % with relay/load), then the real measurement
     try:
-        tile_n = _autotune_fused(bf, q, nq, brute_force, jnp)
+        geo = _autotune_fused(bf, q, nq, brute_force, jnp)
         _measure(
             results, "bf_fused_bf16",
             lambda: brute_force.search(
                 bf, q, K, compute_dtype=jnp.bfloat16, recall_target=0.97,
-                fused=True, fused_tile_n=tile_n, fused_block_q=512),
+                fused=True, **geo),
             nq, gti)
     except Exception as e:  # noqa: BLE001
         print(f"# bf_fused_bf16 failed: {type(e).__name__}: {e}",
@@ -182,20 +182,29 @@ def _ground_truth(bf, q, brute_force):
 
 
 def _autotune_fused(bf, q, nq, brute_force, jnp):
-    """Pick the fused-BF data-tile size: 3 timed reps per candidate.
+    """Pick the fused-BF tile geometry: amortized timed reps per candidate.
 
     Measured best at 1M x 128 bf16 on v5e is (tile 32768, block 512) =
     359k QPS (docs/benchmarks.md BF ladder), but the optimum shifts with
-    dataset shape and relay conditions — tune, don't assume.
-    """
+    dataset shape and relay conditions — tune, don't assume. The sweep
+    covers the chunked-matmul geometries (mxu_n < tile_n bounds the live
+    dots slab so block_q=1024 fits VMEM — fewer grid steps, no 64M
+    dots round-trip)."""
     import jax
 
-    best, best_qps = 32768, 0.0
-    for tile_n in (32768, 16384, 24576):
+    candidates = [
+        dict(fused_tile_n=32768, fused_block_q=512),
+        dict(fused_tile_n=16384, fused_block_q=512),
+        dict(fused_tile_n=32768, fused_block_q=512, fused_mxu_n=4096),
+        dict(fused_tile_n=32768, fused_block_q=1024, fused_mxu_n=4096),
+        dict(fused_tile_n=32768, fused_block_q=1024, fused_mxu_n=8192),
+    ]
+    best, best_qps = candidates[0], 0.0
+    for geo in candidates:
         def fn():
             return brute_force.search(
                 bf, q, K, compute_dtype=jnp.bfloat16, recall_target=0.97,
-                fused=True, fused_tile_n=tile_n, fused_block_q=512)
+                fused=True, **geo)
         try:
             out = fn()
             jax.block_until_ready(out[0])  # compile + warm
@@ -212,12 +221,12 @@ def _autotune_fused(bf, q, nq, brute_force, jnp):
                 out = fn()
             jax.block_until_ready(out[0])
             qps = nq * reps / (time.time() - t0)
-            print(f"# autotune fused tile={tile_n}: {qps:.0f} (reps={reps})",
+            print(f"# autotune fused {geo}: {qps:.0f} (reps={reps})",
                   file=sys.stderr)
             if qps > best_qps:
-                best, best_qps = tile_n, qps
+                best, best_qps = geo, qps
         except Exception as e:  # noqa: BLE001
-            print(f"# autotune tile={tile_n} failed: {e}", file=sys.stderr)
+            print(f"# autotune {geo} failed: {e}", file=sys.stderr)
     return best
 
 

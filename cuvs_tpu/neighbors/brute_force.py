@@ -244,6 +244,7 @@ def search(
     fused: bool = False,
     fused_tile_n: Optional[int] = None,
     fused_block_q: Optional[int] = None,
+    fused_mxu_n: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact k-NN search. Returns (distances [nq,k], neighbors [nq,k] int32).
 
@@ -276,7 +277,7 @@ def search(
             index.dataset, index.norms, queries, int(k), metric=index.metric,
             compute_dtype=compute_dtype, exact=exact_sel,
             q_scale=index.q_scale,
-            tile_n=fused_tile_n, block_q=fused_block_q,
+            tile_n=fused_tile_n, block_q=fused_block_q, mxu_n=fused_mxu_n,
         )
     query_chunk = int(min(query_chunk, max(8, nq)))
     if tile_size is None:

@@ -87,7 +87,7 @@ def _fused_kernel(q_ref, data_ref, out_v_ref, out_i_ref, *, k, n, tile_n, ip, ex
         raise AssertionError("approx mode uses _approx_kernel")
 
 
-def _approx_kernel(q_ref, pen_ref, data_ref, out_v_ref, out_i_ref):
+def _approx_kernel(q_ref, pen_ref, data_ref, out_v_ref, out_i_ref, *, mxu_n):
     """Per-128-lane-bin minima, dataset-stationary — VPU-lean epilogue.
 
     Grid is (n_tiles, n_qb): the data tile is fetched ONCE per tile and
@@ -111,33 +111,46 @@ def _approx_kernel(q_ref, pen_ref, data_ref, out_v_ref, out_i_ref):
     Pool: per tile, 128 bins of depth C = tile_n/128; value = min
     ranking score (f32), uint8 in-bin slice c; global row id =
     t*tile_n + c*128 + l.
+
+    ``mxu_n`` chunks the matmul along the data axis: the [B, tile_n]
+    f32 dots block at the tuned 512x32768 geometry is 64M — written to
+    VMEM by the MXU and re-read by the reduction loop, that round-trip
+    is the gap between the measured 59% MFU and the matmul ceiling.
+    Chunking keeps the live dots slab at [B, mxu_n] (4-16M) and runs
+    the bin reduction per chunk while the next matmul executes.
     """
     q = q_ref[:]
     int8_mode = data_ref.dtype == jnp.int8
-    data = data_ref[:]
-    if int8_mode:
-        dots = jnp.dot(q, data.T, preferred_element_type=jnp.int32).astype(jnp.float32)
-    else:
-        dots = jnp.dot(q, data.T, preferred_element_type=jnp.float32)
-    B = dots.shape[0]
-    tile_n = data.shape[0]
-    C = tile_n // 128
-    # running (best, best-slice) over vreg-aligned 128-lane slices: pure
-    # elementwise ops on [B, 128] operands — no [B, C, 128] reshape (a
-    # cross-lane relayout) and no argmax iota materialization
-    best = dots[:, 0:128] - pen_ref[0, 0:1, :]
-    besti = jnp.zeros_like(best, dtype=jnp.int32)
-    for c in range(1, C):
-        sl = dots[:, c * 128 : (c + 1) * 128] - pen_ref[0, c : c + 1, :]
-        take = sl > best
-        best = jnp.where(take, sl, best)
-        besti = jnp.where(take, c, besti)
+    B = q.shape[0]
+    tile_n = data_ref.shape[0]
+    n_ch = tile_n // mxu_n
+    S = mxu_n // 128  # 128-lane slices per chunk
+    best = besti = None
+    for ch in range(n_ch):
+        dsub = data_ref[ch * mxu_n : (ch + 1) * mxu_n, :]
+        if int8_mode:
+            dots = jnp.dot(q, dsub.T, preferred_element_type=jnp.int32).astype(
+                jnp.float32)
+        else:
+            dots = jnp.dot(q, dsub.T, preferred_element_type=jnp.float32)
+        for s in range(S):
+            c = ch * S + s
+            sl = dots[:, s * 128 : (s + 1) * 128] - pen_ref[0, c : c + 1, :]
+            if best is None:
+                best = sl
+                besti = jnp.zeros_like(sl, dtype=jnp.int32)
+            else:
+                take = sl > best
+                best = jnp.where(take, sl, best)
+                besti = jnp.where(take, c, besti)
     out_v_ref[0, :, :] = -best  # min-space ranking score
     out_i_ref[0, :, :] = besti.astype(jnp.uint8)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "tile_n", "block_q", "ip", "exact", "interpret")
+    jax.jit,
+    static_argnames=("k", "tile_n", "block_q", "ip", "exact", "interpret",
+                     "mxu_n"),
 )
 def fused_bf_topk(
     queries,  # [B, d] compute dtype (bf16/f32/int8)
@@ -149,6 +162,7 @@ def fused_bf_topk(
     exact: bool = True,
     interpret: bool = False,
     dnorms=None,  # [N] f32 squared row norms (L2 approx path; else None)
+    mxu_n: int = 0,  # approx path: matmul chunk along data axis (0 = tile_n)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k nearest rows. Returns (dists [B,k] min-space, ids [B,k]).
 
@@ -161,7 +175,11 @@ def fused_bf_topk(
         # dataset-stationary approx path: the data tile is fetched once
         # per tile and reused across all query blocks; bins are strided
         # so C = tile_n/128 <= 256 fits the uint8 in-bin slice id.
-        block_q = min(block_q, 512)
+        # Chunked matmul (mxu_n < tile_n) bounds the live dots slab, so
+        # larger query blocks fit VMEM (fewer grid steps, deeper MXU
+        # pipelining); the unchunked slab at 1024x32768 f32 would be 128M.
+        block_q = min(block_q,
+                      1024 if 0 < mxu_n < tile_n and mxu_n <= 8192 else 512)
         if tile_n < 4096 or tile_n % 128 or tile_n > 32768:
             tile_n = 16384
         if N <= tile_n:
@@ -228,8 +246,10 @@ def fused_bf_topk(
     pen = jnp.pad(pen_flat, (0, pad_n), constant_values=jnp.inf)
     pen = pen.reshape(n_tiles, C, 128)
 
+    if mxu_n <= 0 or mxu_n > tile_n or tile_n % mxu_n or mxu_n % 128:
+        mxu_n = tile_n
     out_v, out_i = pl.pallas_call(
-        _approx_kernel,
+        functools.partial(_approx_kernel, mxu_n=mxu_n),
         grid=(n_tiles, n_qb),  # query block innermost: data tile reused
         in_specs=[
             pl.BlockSpec((block_q, d), lambda t, i: (i, 0)),
@@ -284,6 +304,7 @@ def search(
     exact: bool = True,
     q_scale=None,
     interpret: bool = False,
+    mxu_n: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Brute-force k-NN via the fused kernel (L2 family + IP).
 
@@ -314,6 +335,8 @@ def search(
                 tile_n = int(_os.environ.get("CUVS_TPU_BF_TILE", 32768))
             if block_q is None:
                 block_q = int(_os.environ.get("CUVS_TPU_BF_BLOCKQ", 512))
+            if mxu_n is None:
+                mxu_n = int(_os.environ.get("CUVS_TPU_BF_MXU_N", 0))
             # VMEM guard: the dataset window is tile_n x d x itemsize,
             # DOUBLE-buffered — wide rows (GIST 960) blow the 128M vmem
             # at the 128-dim-tuned 32768 default. 4096 floor: below it
@@ -347,7 +370,7 @@ def search(
         dd = jnp.asarray(dataset, compute_dtype)
     v, i = fused_bf_topk(
         qq, dd, int(k), tile_n=tile_n, block_q=block_q, ip=ip, exact=exact,
-        interpret=interpret, dnorms=dnorms,
+        interpret=interpret, dnorms=dnorms, mxu_n=int(mxu_n or 0),
     )
     if q_scale is not None:
         v = v * (q_scale * q_scale)
