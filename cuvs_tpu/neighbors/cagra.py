@@ -243,8 +243,11 @@ class PackedIndex:
         return self.graph.shape[1]
 
 
-def pack(index: Index) -> PackedIndex:
-    """Repack a CAGRA index for gather-optimal serving (see PackedIndex)."""
+def pack(index: Index, _blk: int = 0) -> PackedIndex:
+    """Repack a CAGRA index for gather-optimal serving (see PackedIndex).
+
+    ``_blk`` overrides the gather chunk rows (tests exercise the padded-
+    tail path with it; 0 = auto-size to the ~1 GB transient budget)."""
     if index.metric not in (DistanceType.L2Expanded, DistanceType.L2SqrtExpanded,
                             DistanceType.InnerProduct):
         raise ValueError("packed search supports L2/IP metrics")
@@ -258,11 +261,15 @@ def pack(index: Index) -> PackedIndex:
     # alone is HBM-large (1M x 64 x 128 int8 = 8.2 GB) and an unchunked
     # x8[g] adds gather scratch on top — bound the transient to ~1 GB
     # per step so pack() fits alongside a resident dataset on one chip
-    blk = max(1, min(n, (1 << 30) // max(deg * d, 1)))
+    blk = _blk or max(1, min(n, (1 << 30) // max(deg * d, 1)))
     nb = -(-n // blk)
     gp = jnp.pad(g, ((0, nb * blk - n), (0, 0)))
     child = lax.map(lambda gb: x8[gb], gp.reshape(nb, blk, deg))
-    child = child.reshape(nb * blk, deg, d)[:n]
+    # keep the padded tail rows (search gathers by parent id < n, so they
+    # are never read): a `[:n]` slice here would DOUBLE the largest array
+    # in the index for one host step — at 1M x 64 x 128 that transient
+    # copy is what pushed pack() over HBM (r5, RESOURCE_EXHAUSTED)
+    child = child.reshape(nb * blk, deg, d)
     return PackedIndex(
         graph=g,
         child_vecs=child,

@@ -228,6 +228,25 @@ def test_packed_search_parity():
     assert np.median(rel) < 0.02
 
 
+def test_pack_padded_tail():
+    """pack() keeps gather-block padding rows in child_vecs (avoiding the
+    [:n] slice that doubled the 8 GB array at 1M scale); search results
+    are identical to an unpadded pack."""
+    rng = np.random.default_rng(13)
+    x = make_blobs(rng, 5000, 32, n_centers=10)
+    q = make_blobs(rng, 64, 32, n_centers=10)
+    ix = cagra.build(x, intermediate_graph_degree=48, graph_degree=24)
+    pk0 = cagra.pack(ix)  # blk = n, no padding
+    pk1 = cagra.pack(ix, _blk=1500)  # 4 blocks -> 1000 padded tail rows
+    assert pk0.child_vecs.shape[0] == 5000
+    assert pk1.child_vecs.shape[0] == 6000
+    assert pk1.size == 5000
+    d0, i0 = cagra.search(pk0, q, 10, itopk_size=64)
+    d1, i1 = cagra.search(pk1, q, 10, itopk_size=64)
+    assert np.array_equal(np.asarray(i0), np.asarray(i1))
+    assert np.allclose(np.asarray(d0), np.asarray(d1))
+
+
 def test_packed_search_filtered():
     rng = np.random.default_rng(12)
     x = make_blobs(rng, 8000, 32, n_centers=10)
