@@ -251,29 +251,43 @@ def pack(index: Index, _blk: int = 0) -> PackedIndex:
     if index.metric not in (DistanceType.L2Expanded, DistanceType.L2SqrtExpanded,
                             DistanceType.InnerProduct):
         raise ValueError("packed search supports L2/IP metrics")
-    xf = jnp.asarray(index.dataset, jnp.float32)
-    scale = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-30) / 127.0
-    x8 = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    # Peak-HBM discipline: at reference scale the child array alone is
+    # 8.2 GB (1M x 64 x 128 int8) on a 16 GB chip, so every transient here
+    # is chunked and freed before the big gather runs (r5: the original
+    # whole-array f32 quantize + post-gather [:n] slice both OOMed).
+    x = jnp.asarray(index.dataset)
     g = index.graph
     n, deg = g.shape
-    d = x8.shape[1]
-    # chunk the [n, deg, d] child gather: at reference scale the output
-    # alone is HBM-large (1M x 64 x 128 int8 = 8.2 GB) and an unchunked
-    # x8[g] adds gather scratch on top — bound the transient to ~1 GB
-    # per step so pack() fits alongside a resident dataset on one chip
+    d = x.shape[1]
+    scale = (jnp.maximum(jnp.max(jnp.abs(x)), 1e-30) / 127.0).astype(jnp.float32)
+    qblk = max(1, min(n, (256 << 20) // max(4 * d, 1)))  # ~256M f32 transient
+    nqb = -(-n // qblk)
+    xp = jnp.pad(x, ((0, nqb * qblk - n), (0, 0)))
+    x8 = lax.map(
+        lambda xb: jnp.clip(jnp.round(xb.astype(jnp.float32) / scale),
+                            -127, 127).astype(jnp.int8),
+        xp.reshape(nqb, qblk, d),
+    ).reshape(nqb * qblk, d)[:n]
+    del xp
+    child_norms = index.dataset_norms[g]  # [n, deg] f32, before the 8 GB peak
+    # chunk the [n, deg, d] child gather to bound the transient to ~1 GB
+    # per step; prefer a divisor block so no padded tail is materialized
+    # (search gathers by parent id < n, so tail rows would be unread — but
+    # they still cost HBM at reference scale)
     blk = _blk or max(1, min(n, (1 << 30) // max(deg * d, 1)))
+    if not _blk:
+        for cand in range(blk, max(blk // 4, 0), -1):
+            if n % cand == 0:
+                blk = cand
+                break
     nb = -(-n // blk)
-    gp = jnp.pad(g, ((0, nb * blk - n), (0, 0)))
+    gp = jnp.pad(g, ((0, nb * blk - n), (0, 0))) if nb * blk != n else g
     child = lax.map(lambda gb: x8[gb], gp.reshape(nb, blk, deg))
-    # keep the padded tail rows (search gathers by parent id < n, so they
-    # are never read): a `[:n]` slice here would DOUBLE the largest array
-    # in the index for one host step — at 1M x 64 x 128 that transient
-    # copy is what pushed pack() over HBM (r5, RESOURCE_EXHAUSTED)
     child = child.reshape(nb * blk, deg, d)
     return PackedIndex(
         graph=g,
         child_vecs=child,
-        child_norms=index.dataset_norms[g],
+        child_norms=child_norms,
         dataset_int8=x8,
         dataset_norms=index.dataset_norms,
         scale=scale,

@@ -86,9 +86,14 @@ def main():
     packed = None
     if N * GD * D <= 9 << 30:
         t0 = time.time()
-        packed = cagra.pack(index)
-        jax.block_until_ready(packed.child_vecs)
-        print(f"pack: {time.time()-t0:.0f}s", flush=True)
+        try:
+            packed = cagra.pack(index)
+            jax.block_until_ready(packed.child_vecs)
+            print(f"pack: {time.time()-t0:.0f}s", flush=True)
+        except Exception as e:  # noqa: BLE001 - std layout still records rows
+            packed = None
+            print(f"# pack failed ({type(e).__name__}); std layout only",
+                  file=sys.stderr, flush=True)
 
     def recall(i, gt=gti):
         return float(np.mean([
