@@ -80,28 +80,25 @@ def main():
     jax.block_until_ready(index.graph)
     print(f"build: {time.time()-t0:.0f}s", flush=True)
 
-    # packed layout trades HBM for gather locality: child_vecs is
-    # N*GD*D int8. At GIST dims (960) that is 61 GB — packed serving is
-    # a <=256-dim play; fall back to the standard layout above that.
-    packed = None
-    if N * GD * D <= 9 << 30:
-        t0 = time.time()
-        try:
-            packed = cagra.pack(index)
-            jax.block_until_ready(packed.child_vecs)
-            print(f"pack: {time.time()-t0:.0f}s", flush=True)
-        except Exception as e:  # noqa: BLE001 - std layout still records rows
-            packed = None
-            print(f"# pack failed ({type(e).__name__}); std layout only",
-                  file=sys.stderr, flush=True)
-
     def recall(i, gt=gti):
         return float(np.mean([
             len(set(a.tolist()) & set(b.tolist())) / gt.shape[1]
             for a, b in zip(np.asarray(i), gt)
         ]))
 
+    import json
+
     rows = []
+    out_path = os.environ.get("OUT_JSON", "")
+
+    def flush_rows():
+        # incremental: a crash in a later phase (e.g. pack OOM) must not
+        # lose the recall-floor rows already measured
+        if out_path:
+            with open(out_path, "w") as f:
+                json.dump({"n": N, "dim": D, "nq": NQ, "igd": IGD, "gd": GD,
+                           "build_algo": BUILD_ALGO, "rows": rows}, f,
+                          indent=1)
 
     def bench(label, fn, rec_fn=recall):
         _, di = fn()
@@ -115,9 +112,13 @@ def main():
         print(f"{label}: recall@10={rec:.4f} qps={qps:.0f}", flush=True)
         rows.append({"config": label, "recall@10": round(rec, 4),
                      "qps": round(qps, 1)})
+        flush_rows()
         return rec
 
-    layouts = ([(packed, "packed")] if packed is not None else []) + [(index, "std")]
+    # standard layout FIRST: the recall-floor / filtered / ring rows must
+    # land before the HBM-peak pack() attempt (r5: a failed pack left the
+    # runtime resource-exhausted and took the whole ladder down with it)
+    layouts = [(index, "std")]
     for idx, tag in layouts:
         for itopk, w in ((64, 2), (128, 2), (192, 2), (256, 2)):
             kw = dict(itopk_size=itopk, search_width=w, query_chunk=NQ,
@@ -167,14 +168,32 @@ def main():
                 bench(f"cagra_{stag}_itopk{itopk}_{vtag}",
                       lambda: cagra.search(serve, q, K, **kw))
 
-    import json
+    # packed layout LAST (trades HBM for gather locality: child_vecs is
+    # N*GD*D int8 — 8 GiB at 1M x 128 x deg64, a <=256-dim play). Runs
+    # after every std row is recorded because a pack OOM can leave the
+    # device runtime unusable for the rest of the process.
+    if N * GD * D <= 9 << 30 and os.environ.get("PACK", "1") == "1":
+        t0 = time.time()
+        try:
+            packed = cagra.pack(index)
+            jax.block_until_ready(packed.child_vecs)
+            print(f"pack: {time.time()-t0:.0f}s", flush=True)
+        except Exception as e:  # noqa: BLE001 - std rows already recorded
+            packed = None
+            print(f"# pack failed ({type(e).__name__}: {e}); std rows stand",
+                  file=sys.stderr, flush=True)
+        if packed is not None:
+            for itopk, w in ((64, 2), (128, 2), (192, 2), (256, 2)):
+                kw = dict(itopk_size=itopk, search_width=w, query_chunk=NQ,
+                          compute_dtype=jnp.bfloat16)
+                rec = bench(f"cagra_packed_itopk{itopk}_w{w}",
+                            lambda: cagra.search(packed, q, K, **kw))
+                if rec >= 0.97:
+                    break
 
-    out = os.environ.get("OUT_JSON", "")
-    if out:
-        with open(out, "w") as f:
-            json.dump({"n": N, "dim": D, "nq": NQ, "igd": IGD, "gd": GD,
-                       "build_algo": BUILD_ALGO, "rows": rows}, f, indent=1)
-        print(f"# wrote {out}", file=sys.stderr, flush=True)
+    flush_rows()
+    if out_path:
+        print(f"# wrote {out_path}", file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":
