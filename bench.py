@@ -309,20 +309,15 @@ def _cagra_phase(results, x, q, gti, t_start, metric, nq, bf):
             index = None
     if index is None:
         return
-    # layout ladder: gather-optimal packed first (2.4x measured over the
-    # standard layout), standard as the fault/availability fallback —
-    # a faulting packed kernel must not cost the whole phase
-    layouts = []
-    try:
-        packed = cagra.pack(index)
-        jax.block_until_ready(packed.child_vecs)
-        layouts.append((packed, "packed"))
-    except Exception as e:  # noqa: BLE001
-        print(f"# cagra pack unavailable ({e}); standard layout",
-              file=sys.stderr)
-    layouts.append((index, "std"))
+    # layout ladder: STANDARD first so its rows are recorded before the
+    # HBM-peak pack() attempt — an OOMing pack leaves the device runtime
+    # resource-exhausted for the rest of the process (r5 ladder evidence),
+    # so it must never run before the fallback rows exist. Packed (2.4x
+    # measured over std at deg32) is attempted after, gated to shapes
+    # whose child array leaves headroom next to the bench's residents.
+    layouts = [(index, "std")]
 
-    for serve, tag in layouts:
+    for li, (serve, tag) in enumerate(layouts):
         best_rec, faulted = 0.0, False
         for itopk, width in ((64, 2), (128, 2)):
             if time.time() - t_start > CAGRA_BUDGET_S + 300:
@@ -360,7 +355,22 @@ def _cagra_phase(results, x, q, gti, t_start, metric, nq, bf):
                 print(f"# cagra_{tag}_refine failed: "
                       f"{type(e).__name__}: {e}", file=sys.stderr)
                 continue
-        break  # this layout produced rows; done
+        # std rows are recorded — NOW try the packed upgrade (2.4x measured
+        # over std at deg32). Gated to child arrays that leave headroom
+        # beside the bench residents: an OOMing pack leaves the device
+        # runtime resource-exhausted for the rest of the process
+        # (r5 ladder evidence), so it must never run before fallback rows.
+        n_, gd_ = serve.graph.shape if tag == "std" else (0, 0)
+        if (li == len(layouts) - 1 and tag == "std"
+                and n_ * gd_ * index.dim <= 5 << 30
+                and time.time() - t_start <= CAGRA_BUDGET_S + 300):
+            try:
+                packed = cagra.pack(index)
+                jax.block_until_ready(packed.child_vecs)
+                layouts.append((packed, "packed"))
+            except Exception as e:  # noqa: BLE001
+                print(f"# cagra pack unavailable ({type(e).__name__}: {e})",
+                      file=sys.stderr)
 
 
 def _emit(results, n, dim, label_ds):

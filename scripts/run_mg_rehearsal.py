@@ -89,22 +89,7 @@ def main():
     print(f"# ground truth: {time.time()-t0:.0f}s", file=sys.stderr,
           flush=True)
 
-    # ---- full-shape sharded streaming build ----
-    t0 = time.time()
-    n_slices = -(-N // SLICE)
-    idx = mg.build_streaming(
-        lambda i: x[i * SLICE : (i + 1) * SLICE],
-        n_slices,
-        n_lists=N_LISTS,
-        trainset_rows=250_000,
-        kmeans_n_iters=4,
-        seed=0,
-    )
-    jax.block_until_ready(idx.shards.sorted_data)
-    build_s = time.time() - t0
-    per_shard = idx.shards.sorted_data.shape
-    print(f"# build_streaming: {build_s:.0f}s shard leaves {per_shard} "
-          f"{idx.shards.sorted_data.dtype}", file=sys.stderr, flush=True)
+    from cuvs_tpu.neighbors import refine as _refine
 
     def recall(i):
         return float(np.mean([
@@ -112,51 +97,68 @@ def main():
             for a, b in zip(np.asarray(i), gti)
         ]))
 
-    for p in (16, 48):
-        t0 = time.time()
-        d, i = mg.search(idx, jnp.asarray(q), K, n_probes=p)
-        jax.block_until_ready(d)
-        rec = recall(i)
-        line = {"phase": "mg_ivf_flat_100m", "n": N, "shards": 8,
-                "rows_per_shard": int(per_shard[1]), "n_probes": p,
-                "recall@10": round(rec, 4),
-                "search_s": round(time.time() - t0, 1),
-                "build_s": round(build_s, 1)}
-        print(json.dumps(line), flush=True)
-
-    # ---- exact re-rank arm (refine_host.hpp analog): int8 shard ranking
-    # proposes CAND candidates through the mg merge; the exact f32 re-rank
-    # gathers only candidate rows from the host memmap. This is the
-    # BASELINE config-5 >=0.95 floor row at full 100M shape. ----
-    from cuvs_tpu.neighbors import refine as _refine
-
     CAND = int(os.environ.get("CAND", 40))
-    for p in (48,):
-        t0 = time.time()
-        _, cand = mg.search(idx, jnp.asarray(q), CAND, n_probes=p)
-        _, ri = _refine.refine_host(x, q, np.asarray(cand), K)
-        rec = recall(ri)
-        line = {"phase": "mg_ivf_flat_100m_refined", "n": N, "shards": 8,
-                "rows_per_shard": int(per_shard[1]), "n_probes": p,
-                "cand": CAND, "recall@10": round(rec, 4),
-                "search_s": round(time.time() - t0, 1)}
-        print(json.dumps(line), flush=True)
+    n_slices = -(-N // SLICE)
 
-    # ---- fused-scan arm: the SAME fused Pallas kernel single-chip serves
-    # with, reached under shard_map (snmg.cuh:283 parity; interpret mode
-    # on the CPU mesh) ----
-    if os.environ.get("FUSED_ARM", "1") == "1":
+    if os.environ.get("FLAT", "1") == "1":
+        # ---- full-shape sharded streaming build ----
         t0 = time.time()
-        d, i = mg.search(idx, jnp.asarray(q), K, n_probes=16,
-                         scan_algo="fused")
-        jax.block_until_ready(d)
-        rec = recall(i)
-        line = {"phase": "mg_ivf_flat_100m_fused_scan", "n": N, "shards": 8,
-                "n_probes": 16, "recall@10": round(rec, 4),
-                "search_s": round(time.time() - t0, 1)}
-        print(json.dumps(line), flush=True)
+        idx = mg.build_streaming(
+            lambda i: x[i * SLICE : (i + 1) * SLICE],
+            n_slices,
+            n_lists=N_LISTS,
+            trainset_rows=250_000,
+            kmeans_n_iters=4,
+            seed=0,
+        )
+        jax.block_until_ready(idx.shards.sorted_data)
+        build_s = time.time() - t0
+        per_shard = idx.shards.sorted_data.shape
+        print(f"# build_streaming: {build_s:.0f}s shard leaves {per_shard} "
+              f"{idx.shards.sorted_data.dtype}", file=sys.stderr, flush=True)
 
-    del idx
+        for p in (16, 48):
+            t0 = time.time()
+            d, i = mg.search(idx, jnp.asarray(q), K, n_probes=p)
+            jax.block_until_ready(d)
+            rec = recall(i)
+            line = {"phase": "mg_ivf_flat_100m", "n": N, "shards": 8,
+                    "rows_per_shard": int(per_shard[1]), "n_probes": p,
+                    "recall@10": round(rec, 4),
+                    "search_s": round(time.time() - t0, 1),
+                    "build_s": round(build_s, 1)}
+            print(json.dumps(line), flush=True)
+
+        # ---- exact re-rank arm (refine_host.hpp analog): int8 shard ranking
+        # proposes CAND candidates through the mg merge; the exact f32 re-rank
+        # gathers only candidate rows from the host memmap. This is the
+        # BASELINE config-5 >=0.95 floor row at full 100M shape. ----
+        for p in (48,):
+            t0 = time.time()
+            _, cand = mg.search(idx, jnp.asarray(q), CAND, n_probes=p)
+            _, ri = _refine.refine_host(x, q, np.asarray(cand), K)
+            rec = recall(ri)
+            line = {"phase": "mg_ivf_flat_100m_refined", "n": N, "shards": 8,
+                    "rows_per_shard": int(per_shard[1]), "n_probes": p,
+                    "cand": CAND, "recall@10": round(rec, 4),
+                    "search_s": round(time.time() - t0, 1)}
+            print(json.dumps(line), flush=True)
+
+        # ---- fused-scan arm: the SAME fused Pallas kernel single-chip serves
+        # with, reached under shard_map (snmg.cuh:283 parity; interpret mode
+        # on the CPU mesh) ----
+        if os.environ.get("FUSED_ARM", "1") == "1":
+            t0 = time.time()
+            d, i = mg.search(idx, jnp.asarray(q), K, n_probes=16,
+                             scan_algo="fused")
+            jax.block_until_ready(d)
+            rec = recall(i)
+            line = {"phase": "mg_ivf_flat_100m_fused_scan", "n": N, "shards": 8,
+                    "n_probes": 16, "recall@10": round(rec, 4),
+                    "search_s": round(time.time() - t0, 1)}
+            print(json.dumps(line), flush=True)
+
+        del idx
 
     # ---- mg IVF-PQ arm (config 5 names sharded CAGRA + IVF-PQ;
     # mg_ivf_pq.h + snmg.cuh:127-166): per-shard streaming PQ build,
