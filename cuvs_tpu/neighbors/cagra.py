@@ -223,7 +223,15 @@ class PackedIndex:
     """
 
     graph: jnp.ndarray  # [n, deg] int32
-    child_vecs: jnp.ndarray  # [n, deg, d] int8
+    # child vectors, split along the NEIGHBOR axis into <=2 GiB pieces
+    # ([n, deg_i, d] int8 each, sum(deg_i) == deg): at reference degrees
+    # the monolithic [n, deg, d] array is 8 GiB, and a single allocation
+    # that size fails on a post-build fragmented 16 GB HBM even though
+    # the bytes are free (r5 evidence: fresh-process 12 GiB allocs
+    # succeed; in-process pack OOMs). Serving gathers one wide row per
+    # piece per parent — bytes identical, still ~deg/len(pieces) x fewer
+    # row fetches than the standard layout.
+    child_vecs: tuple  # tuple[jnp.ndarray [n, deg_i, d] int8, ...]
     child_norms: jnp.ndarray  # [n, deg] f32 squared norms (f32 exact)
     dataset_int8: jnp.ndarray  # [n, d] int8 (seed + extend entry points)
     dataset_norms: jnp.ndarray  # [n] f32
@@ -243,11 +251,14 @@ class PackedIndex:
         return self.graph.shape[1]
 
 
-def pack(index: Index, _blk: int = 0) -> PackedIndex:
+def pack(index: Index, _blk: int = 0,
+         _piece_bytes: int = 2 << 30) -> PackedIndex:
     """Repack a CAGRA index for gather-optimal serving (see PackedIndex).
 
     ``_blk`` overrides the gather chunk rows (tests exercise the padded-
-    tail path with it; 0 = auto-size to the ~1 GB transient budget)."""
+    tail path with it; 0 = auto-size to the ~1 GB transient budget);
+    ``_piece_bytes`` bounds each child_vecs piece (tests force the
+    multi-piece path with a tiny budget)."""
     if index.metric not in (DistanceType.L2Expanded, DistanceType.L2SqrtExpanded,
                             DistanceType.InnerProduct):
         raise ValueError("packed search supports L2/IP metrics")
@@ -270,11 +281,14 @@ def pack(index: Index, _blk: int = 0) -> PackedIndex:
     ).reshape(nqb * qblk, d)[:n]
     del xp
     child_norms = index.dataset_norms[g]  # [n, deg] f32, before the 8 GB peak
-    # chunk the [n, deg, d] child gather to bound the transient to ~1 GB
-    # per step; prefer a divisor block so no padded tail is materialized
-    # (search gathers by parent id < n, so tail rows would be unread — but
-    # they still cost HBM at reference scale)
-    blk = _blk or max(1, min(n, (1 << 30) // max(deg * d, 1)))
+    # split the [n, deg, d] child array along the NEIGHBOR axis into
+    # <=_piece_bytes pieces (see PackedIndex.child_vecs), and chunk each
+    # piece's gather to bound the transient to ~1 GB per step; prefer a
+    # divisor block so no padded tail is materialized (search gathers by
+    # parent id < n, so tail rows would be unread — but they still cost
+    # HBM at reference scale)
+    deg_i = max(1, min(deg, _piece_bytes // max(n * d, 1)))
+    blk = _blk or max(1, min(n, (1 << 30) // max(deg_i * d, 1)))
     if not _blk:
         for cand in range(blk, max(blk // 4, 0), -1):
             if n % cand == 0:
@@ -282,11 +296,16 @@ def pack(index: Index, _blk: int = 0) -> PackedIndex:
                 break
     nb = -(-n // blk)
     gp = jnp.pad(g, ((0, nb * blk - n), (0, 0))) if nb * blk != n else g
-    child = lax.map(lambda gb: x8[gb], gp.reshape(nb, blk, deg))
-    child = child.reshape(nb * blk, deg, d)
+    pieces = []
+    for off in range(0, deg, deg_i):
+        gcols = gp[:, off : off + deg_i]
+        child = lax.map(lambda gb: x8[gb], gcols.reshape(nb, blk, -1))
+        child = child.reshape(nb * blk, gcols.shape[1], d)
+        jax.block_until_ready(child)
+        pieces.append(child)
     return PackedIndex(
         graph=g,
-        child_vecs=child,
+        child_vecs=tuple(pieces),
         child_norms=child_norms,
         dataset_int8=x8,
         dataset_norms=index.dataset_norms,
@@ -374,7 +393,10 @@ def _search_chunk_packed(
 
         safe_p = jnp.where(parent_valid, parent_ids, 0)
         children = graph[safe_p].reshape(B, C)
-        cvecs = child_vecs[safe_p].astype(compute_dtype).reshape(B, C, -1)
+        # one wide row gather per child_vecs piece per parent; pieces are
+        # deg-axis splits in column order, so concat rebuilds [B, W, deg, d]
+        cvecs = jnp.concatenate([cv[safe_p] for cv in child_vecs], axis=2)
+        cvecs = cvecs.astype(compute_dtype).reshape(B, C, -1)
         cnorms = child_norms[safe_p].reshape(B, C)
         children = jnp.where(jnp.repeat(parent_valid, deg, axis=1), children, -1)
 

@@ -140,9 +140,17 @@ def _builders():
         )
 
     def build_cagra_packed(a, s):
+        # child_vecs is a tuple of deg-axis pieces → keys .child_vecs[i];
+        # a plain .child_vecs key is the pre-split single-array format
+        if ".child_vecs" in a:
+            cv = (a[".child_vecs"],)
+        else:
+            keys = sorted((k for k in a if k.startswith(".child_vecs[")),
+                          key=lambda k: int(k[len(".child_vecs["):-1]))
+            cv = tuple(a[k] for k in keys)
         return cagra.PackedIndex(
             graph=a[".graph"],
-            child_vecs=a[".child_vecs"],
+            child_vecs=cv,
             child_norms=a[".child_norms"],
             dataset_int8=a[".dataset_int8"],
             dataset_norms=a[".dataset_norms"],

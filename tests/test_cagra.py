@@ -238,13 +238,41 @@ def test_pack_padded_tail():
     ix = cagra.build(x, intermediate_graph_degree=48, graph_degree=24)
     pk0 = cagra.pack(ix)  # blk = n, no padding
     pk1 = cagra.pack(ix, _blk=1500)  # 4 blocks -> 1000 padded tail rows
-    assert pk0.child_vecs.shape[0] == 5000
-    assert pk1.child_vecs.shape[0] == 6000
+    assert pk0.child_vecs[0].shape[0] == 5000
+    assert pk1.child_vecs[0].shape[0] == 6000
     assert pk1.size == 5000
     d0, i0 = cagra.search(pk0, q, 10, itopk_size=64)
     d1, i1 = cagra.search(pk1, q, 10, itopk_size=64)
     assert np.array_equal(np.asarray(i0), np.asarray(i1))
     assert np.allclose(np.asarray(d0), np.asarray(d1))
+
+
+def test_pack_deg_axis_pieces():
+    """A tiny _piece_bytes budget forces the multi-piece child_vecs split
+    (the 16 GB-HBM path at reference degrees); results are identical to
+    the single-piece pack, and the split round-trips through serialize."""
+    rng = np.random.default_rng(14)
+    x = make_blobs(rng, 5000, 32, n_centers=10)
+    q = make_blobs(rng, 64, 32, n_centers=10)
+    ix = cagra.build(x, intermediate_graph_degree=48, graph_degree=24)
+    pk0 = cagra.pack(ix)
+    pk3 = cagra.pack(ix, _piece_bytes=5000 * 32 * 8)  # deg_i=8 -> 3 pieces
+    assert len(pk3.child_vecs) == 3
+    assert sum(cv.shape[1] for cv in pk3.child_vecs) == 24
+    d0, i0 = cagra.search(pk0, q, 10, itopk_size=64)
+    d3, i3 = cagra.search(pk3, q, 10, itopk_size=64)
+    assert np.array_equal(np.asarray(i0), np.asarray(i3))
+    assert np.allclose(np.asarray(d0), np.asarray(d3))
+    import tempfile
+
+    from cuvs_tpu.utils import serialize as ser
+
+    with tempfile.NamedTemporaryFile(suffix=".npz") as f:
+        ser.save(f.name, pk3)
+        pk_l = ser.load(f.name)
+    assert len(pk_l.child_vecs) == 3
+    dl, il = cagra.search(pk_l, q, 10, itopk_size=64)
+    assert np.array_equal(np.asarray(i3), np.asarray(il))
 
 
 def test_packed_search_filtered():
