@@ -58,7 +58,9 @@ def main():
     for i in range(0, N, SL):
         rows = min(SL, N - i)
         x[i : i + rows] = np.asarray(gen(jax.random.PRNGKey(100 + i), rows))
+        print(f"# datagen {i+rows}", file=sys.stderr, flush=True)
     q = np.asarray(gen(k4, NQ))
+    print("# queries ready", file=sys.stderr, flush=True)
 
     from cuvs_tpu.bench.gt import exact_ground_truth
 
@@ -118,7 +120,7 @@ def main():
     # standard layout FIRST: the recall-floor / filtered / ring rows must
     # land before the HBM-peak pack() attempt (r5: a failed pack left the
     # runtime resource-exhausted and took the whole ladder down with it)
-    layouts = [(index, "std")]
+    layouts = [(index, "std")] if os.environ.get("STD", "1") == "1" else []
     for idx, tag in layouts:
         for itopk, w in ((64, 2), (128, 2), (192, 2), (256, 2)):
             kw = dict(itopk_size=itopk, search_width=w, query_chunk=NQ,
@@ -151,16 +153,17 @@ def main():
     del bfk, xk  # free before the filtered searches
     print("# filtered ground truth ready", file=sys.stderr, flush=True)
 
-    serve, stag = layouts[0]
-    kw = dict(itopk_size=128, search_width=2, query_chunk=NQ,
-              compute_dtype=jnp.bfloat16)
-    bench(f"cagra_{stag}_itopk128_filtered{FILTER_KEEP}",
-          lambda: cagra.search(serve, q, K, prefilter=flt, **kw),
-          rec_fn=lambda i: recall(i, gtik))
+    if layouts:
+        serve, stag = layouts[0]
+        kw = dict(itopk_size=128, search_width=2, query_chunk=NQ,
+                  compute_dtype=jnp.bfloat16)
+        bench(f"cagra_{stag}_itopk128_filtered{FILTER_KEEP}",
+              lambda: cagra.search(serve, q, K, prefilter=flt, **kw),
+              rec_fn=lambda i: recall(i, gtik))
 
     # visited-ring trade-off, measured ON-CHIP (hashmap.hpp HASH vs SMALL
     # analog): ring on (auto) vs off (visited_size=-1) at itopk 64/128
-    if os.environ.get("RING_SWEEP", "1") == "1":
+    if layouts and os.environ.get("RING_SWEEP", "1") == "1":
         for itopk in (64, 128):
             for vs, vtag in ((0, "ring"), (-1, "noring")):
                 kw = dict(itopk_size=itopk, search_width=2, query_chunk=NQ,
@@ -190,6 +193,20 @@ def main():
                             lambda: cagra.search(packed, q, K, **kw))
                 if rec >= 0.97:
                     break
+            # packed + exact bf16 re-rank: the high-QPS row qualified to
+            # the recall floor (int8 children rank, exact distances decide)
+            kwp = dict(itopk_size=128, search_width=2, query_chunk=NQ,
+                       compute_dtype=jnp.bfloat16)
+
+            def packed_refined():
+                _, cand = cagra.search(packed, q, 40, **kwp)
+                return refine.refine(x16, q, cand, K,
+                                     compute_dtype=jnp.bfloat16)
+
+            bench("cagra_packed_itopk128_refine", packed_refined)
+            bench(f"cagra_packed_itopk128_filtered{FILTER_KEEP}",
+                  lambda: cagra.search(packed, q, K, prefilter=flt, **kwp),
+                  rec_fn=lambda i: recall(i, gtik))
 
     flush_rows()
     if out_path:
