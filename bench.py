@@ -76,7 +76,13 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.jax_cache"))
+    cache_dir = os.path.expanduser("~/.jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    # build/search timings depend on compile-cache state (r4's 22 s vs
+    # 110 s IVF build mystery) — make it interpretable in the log
+    n_cached = len(os.listdir(cache_dir)) if os.path.isdir(cache_dir) else 0
+    print(f"# compile cache: {n_cached} entries at {cache_dir}",
+          file=sys.stderr)
 
     from cuvs_tpu.bench import datasets
     from cuvs_tpu.neighbors import brute_force

@@ -33,7 +33,7 @@ def data():
 def test_brute_force_exact(data):
     x, q, gtd, gti = data
     idx = brute_force.build(x)
-    d, i = idx if False else brute_force.search(idx, q, 10)
+    d, i = brute_force.search(idx, q, 10)
     assert calc_recall(np.asarray(i), gti, np.asarray(d), gtd) >= 0.999
 
 
