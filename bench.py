@@ -136,6 +136,7 @@ def main():
 
     # fused Pallas kernel: quick tile-geometry autotune (the best config
     # varies a few % with relay/load), then the real measurement
+    geo = {}
     try:
         geo = _autotune_fused(bf, q, nq, brute_force, jnp)
         _measure(
@@ -154,7 +155,13 @@ def main():
 
         bf8 = brute_force.build(x, metric=ds.metric, storage_dtype=jnp.int8)
         CAND = 40
-        kw8 = dict(query_chunk=1024, recall_target=0.97, fused=True)
+        # reuse the tuned tile geometry — int8 scoring runs the MXU at 2x
+        # the bf16 rate, so this tier can lead the headline when the int8
+        # ranking alone clears the recall floor
+        kw8 = dict(query_chunk=1024, recall_target=0.97, fused=True, **geo)
+
+        _measure(results, "bf_int8_fused",
+                 lambda: brute_force.search(bf8, q, K, **kw8), nq, gti)
 
         def int8_search():
             _, cand = brute_force.search(bf8, q, CAND, **kw8)
