@@ -161,6 +161,18 @@ def main():
               lambda: cagra.search(serve, q, K, prefilter=flt, **kw),
               rec_fn=lambda i: recall(i, gtik))
 
+        # filtered + exact re-rank: candidates are filter-valid by
+        # construction, so refine preserves the filter while lifting the
+        # bf16-ranking row over the 0.95 floor (common.hpp:500-660 +
+        # refine.hpp semantics composed)
+        def filtered_refined():
+            _, cand = cagra.search(serve, q, 40, prefilter=flt, **kw)
+            return refine.refine(x16, q, cand, K,
+                                 compute_dtype=jnp.bfloat16)
+
+        bench(f"cagra_{stag}_itopk128_filtered{FILTER_KEEP}_refine",
+              filtered_refined, rec_fn=lambda i: recall(i, gtik))
+
     # visited-ring trade-off, measured ON-CHIP (hashmap.hpp HASH vs SMALL
     # analog): ring on (auto) vs off (visited_size=-1) at itopk 64/128
     if layouts and os.environ.get("RING_SWEEP", "1") == "1":
@@ -207,6 +219,14 @@ def main():
             bench(f"cagra_packed_itopk128_filtered{FILTER_KEEP}",
                   lambda: cagra.search(packed, q, K, prefilter=flt, **kwp),
                   rec_fn=lambda i: recall(i, gtik))
+
+            def packed_filtered_refined():
+                _, cand = cagra.search(packed, q, 40, prefilter=flt, **kwp)
+                return refine.refine(x16, q, cand, K,
+                                     compute_dtype=jnp.bfloat16)
+
+            bench(f"cagra_packed_itopk128_filtered{FILTER_KEEP}_refine",
+                  packed_filtered_refined, rec_fn=lambda i: recall(i, gtik))
 
     flush_rows()
     if out_path:
