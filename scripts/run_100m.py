@@ -171,16 +171,16 @@ def main():
 
     rows = []
 
+    from cuvs_tpu.bench.measure import timed_qps
+
     def bench(label, fn, reps=3):
         dv, di = fn()
         jax.block_until_ready(jax.tree.leaves(dv)[0]
                               if not hasattr(dv, "block_until_ready") else dv)
         rec = recall(di)
-        t0 = time.time()
-        for _ in range(reps):
-            out = fn()
-        jax.block_until_ready(out[0])
-        qps = NQ * reps / (time.time() - t0)
+        # dependency-chained reps: the relay elides repeated executions
+        # whose outputs are dropped (cuvs_tpu/bench/measure.py)
+        qps = timed_qps(fn, NQ, reps=reps)
         print(f"{label}: recall@10={rec:.4f} qps={qps:.0f}", flush=True)
         rows.append({"config": label, "recall@10": round(rec, 4),
                      "qps": round(qps, 1)})

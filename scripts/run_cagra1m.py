@@ -102,15 +102,14 @@ def main():
                            "build_algo": BUILD_ALGO, "rows": rows}, f,
                           indent=1)
 
+    from cuvs_tpu.bench.measure import timed_qps
+
     def bench(label, fn, rec_fn=recall):
         _, di = fn()
         rec = rec_fn(np.asarray(di))
-        t0 = time.time()
-        reps = 5
-        for _ in range(reps):
-            out = fn()
-        jax.block_until_ready(out[0])
-        qps = NQ * reps / (time.time() - t0)
+        # dependency-chained reps: the relay elides repeated executions
+        # whose outputs are dropped (cuvs_tpu/bench/measure.py)
+        qps = timed_qps(fn, NQ, reps=5)
         print(f"{label}: recall@10={rec:.4f} qps={qps:.0f}", flush=True)
         rows.append({"config": label, "recall@10": round(rec, 4),
                      "qps": round(qps, 1)})

@@ -95,14 +95,14 @@ def main():
             for a, b in zip(np.asarray(i), gti)
         ]))
 
+    from cuvs_tpu.bench.measure import timed_qps
+
     def bench(label, fn, reps=3):
         _, di = fn()
         rec = recall(di)
-        t0 = time.time()
-        for _ in range(reps):
-            out = fn()
-        jax.block_until_ready(out[0])
-        qps = NQ * reps / (time.time() - t0)
+        # dependency-chained reps: the relay elides repeated executions
+        # whose outputs are dropped (cuvs_tpu/bench/measure.py)
+        qps = timed_qps(fn, NQ, reps=reps)
         print(f"{label}: recall@10={rec:.4f} qps={qps:.0f}", flush=True)
 
     for lut, tag in ((jnp.float32, ""), (jnp.int8, " int8")):
