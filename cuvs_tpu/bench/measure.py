@@ -50,6 +50,10 @@ def timed_qps(fn, nq, reps=5, min_time_s=0.0, max_reps=64):
     import jax.numpy as jnp
 
     fold = _fold()
+    # warm the fold OUTSIDE the clock: its first call compiles, and a
+    # relay compile can dwarf the whole timed window
+    out = fn()
+    float(fold(jnp.float32(0), out[0]))
     if min_time_s > 0:
         t0 = time.time()
         out = fn()

@@ -129,8 +129,12 @@ def _approx_kernel(q_ref, pen_ref, data_ref, out_v_ref, out_i_ref, *, mxu_n):
     for ch in range(n_ch):
         dsub = data_ref[ch * mxu_n : (ch + 1) * mxu_n, :]
         if int8_mode:
-            dots = jnp.dot(q, dsub.T, preferred_element_type=jnp.int32).astype(
-                jnp.float32)
+            # stay in int32 through the whole reduction: pen arrives as
+            # the integer-rounded half-norm, the running (best, slice)
+            # loop compares int32, and only the final [B, 128] pool is
+            # converted — the per-element int32->f32 convert of the
+            # [B, mxu_n] dots slab was ~1/4 of the VPU epilogue
+            dots = jnp.dot(q, dsub.T, preferred_element_type=jnp.int32)
         else:
             dots = jnp.dot(q, dsub.T, preferred_element_type=jnp.float32)
         for s in range(S):
@@ -143,7 +147,8 @@ def _approx_kernel(q_ref, pen_ref, data_ref, out_v_ref, out_i_ref, *, mxu_n):
                 take = sl > best
                 best = jnp.where(take, sl, best)
                 besti = jnp.where(take, c, besti)
-    out_v_ref[0, :, :] = -best  # min-space ranking score
+    # min-space ranking score; pool-only convert in int8 mode
+    out_v_ref[0, :, :] = -best.astype(jnp.float32)
     out_i_ref[0, :, :] = besti.astype(jnp.uint8)
 
 
@@ -233,17 +238,27 @@ def fused_bf_topk(
     # own units — quantized for int8), 0 for IP; +inf on padded rows so
     # no in-kernel validity mask is needed
     C = tile_n // 128
-    if ip:
-        pen_flat = jnp.zeros((N,), jnp.float32)
-    elif data.dtype == jnp.int8:
-        df = dataset.astype(jnp.float32)
-        pen_flat = 0.5 * jnp.sum(df * df, axis=1)
-    elif dnorms is not None:
-        pen_flat = 0.5 * jnp.asarray(dnorms, jnp.float32)
+    int8_mode = data.dtype == jnp.int8
+    if int8_mode:
+        # int32 epilogue: pen = round(||row||^2 / 2) stays exact-integer
+        # arithmetic in-kernel (the +-0.5-unit rounding is far below the
+        # int8 quantization noise); padded rows get a large sentinel in
+        # place of +inf
+        if ip:
+            pen_flat = jnp.zeros((N,), jnp.int32)
+        else:
+            di = dataset.astype(jnp.int32)
+            pen_flat = (jnp.sum(di * di, axis=1) + 1) >> 1
+        pen = jnp.pad(pen_flat, (0, pad_n), constant_values=1 << 30)
     else:
-        df = dataset.astype(jnp.float32)
-        pen_flat = 0.5 * jnp.sum(df * df, axis=1)
-    pen = jnp.pad(pen_flat, (0, pad_n), constant_values=jnp.inf)
+        if ip:
+            pen_flat = jnp.zeros((N,), jnp.float32)
+        elif dnorms is not None:
+            pen_flat = 0.5 * jnp.asarray(dnorms, jnp.float32)
+        else:
+            df = dataset.astype(jnp.float32)
+            pen_flat = 0.5 * jnp.sum(df * df, axis=1)
+        pen = jnp.pad(pen_flat, (0, pad_n), constant_values=jnp.inf)
     pen = pen.reshape(n_tiles, C, 128)
 
     if mxu_n <= 0 or mxu_n > tile_n or tile_n % mxu_n or mxu_n % 128:

@@ -53,6 +53,25 @@ def test_fused_rejects_bad_metric():
         )
 
 
+def test_fused_int8_approx_mode():
+    # int8 approx path: int32 in-kernel epilogue (pen = rounded half-norm,
+    # pool-only f32 convert) must rank like the f32 reference within the
+    # int8 quantization noise
+    x = make_blobs(RNG, 20000, 16)
+    q = make_blobs(RNG, 32, 16)
+    scale = float(np.abs(x).max() / 127.0)
+    x8 = np.clip(np.round(x / scale), -127, 127).astype(np.int8)
+    d, i = bf_topk_pallas.search(
+        x8, None, q, 10, q_scale=scale, exact=False, interpret=True
+    )
+    gtd, gti = naive_knn(q, x, 10)
+    assert calc_recall(np.asarray(i), gti, np.asarray(d), gtd) >= 0.9
+    # returned distances are rescaled quantized-space L2: close to true
+    d0 = np.sort(np.asarray(d), axis=1)[:, 0]
+    g0 = np.sort(gtd, axis=1)[:, 0]
+    np.testing.assert_allclose(d0, g0, rtol=0.15, atol=0.5)
+
+
 def test_fused_block_max_mode():
     # bin-collision loss scales as k^2 / (2 * n/128): needs n >> 128*k^2
     x = make_blobs(RNG, 20000, 16)
