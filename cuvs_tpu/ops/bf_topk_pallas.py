@@ -87,7 +87,8 @@ def _fused_kernel(q_ref, data_ref, out_v_ref, out_i_ref, *, k, n, tile_n, ip, ex
         raise AssertionError("approx mode uses _approx_kernel")
 
 
-def _approx_kernel(q_ref, pen_ref, data_ref, out_v_ref, out_i_ref, *, mxu_n):
+def _approx_kernel(q_ref, pen_ref, data_ref, out_v_ref, out_i_ref, *, mxu_n,
+                   key_pack=False):
     """Per-128-lane-bin minima, dataset-stationary — VPU-lean epilogue.
 
     Grid is (n_tiles, n_qb): the data tile is fetched ONCE per tile and
@@ -139,17 +140,36 @@ def _approx_kernel(q_ref, pen_ref, data_ref, out_v_ref, out_i_ref, *, mxu_n):
             dots = jnp.dot(q, dsub.T, preferred_element_type=jnp.float32)
         for s in range(S):
             c = ch * S + s
-            sl = dots[:, s * 128 : (s + 1) * 128] - pen_ref[0, c : c + 1, :]
-            if best is None:
-                best = sl
-                besti = jnp.zeros_like(sl, dtype=jnp.int32)
+            if key_pack:
+                # (score, slice) packed into ONE int32 key: the slice id
+                # and the <<8 are pre-folded into pen (pen' = (pen<<8)-c
+                # per slice row), so the per-element work is shift, sub,
+                # max — 3 VPU ops vs the 4 of the compare/two-select
+                # chain, and no besti register stream at all. Gated by
+                # the caller to dims where (dots<<8) - pen' cannot
+                # overflow int32.
+                sl = (dots[:, s * 128 : (s + 1) * 128] << 8) \
+                    - pen_ref[0, c : c + 1, :]
+                best = sl if best is None else jnp.maximum(best, sl)
             else:
-                take = sl > best
-                best = jnp.where(take, sl, best)
-                besti = jnp.where(take, c, besti)
+                sl = dots[:, s * 128 : (s + 1) * 128] \
+                    - pen_ref[0, c : c + 1, :]
+                if best is None:
+                    best = sl
+                    besti = jnp.zeros_like(sl, dtype=jnp.int32)
+                else:
+                    take = sl > best
+                    best = jnp.where(take, sl, best)
+                    besti = jnp.where(take, c, besti)
     # min-space ranking score; pool-only convert in int8 mode
-    out_v_ref[0, :, :] = -best.astype(jnp.float32)
-    out_i_ref[0, :, :] = besti.astype(jnp.uint8)
+    if key_pack:
+        # unpack: arithmetic >>8 = floor-division recovers the signed
+        # score; low byte is the in-bin slice id
+        out_v_ref[0, :, :] = -(best >> 8).astype(jnp.float32)
+        out_i_ref[0, :, :] = (best & 255).astype(jnp.uint8)
+    else:
+        out_v_ref[0, :, :] = -best.astype(jnp.float32)
+        out_i_ref[0, :, :] = besti.astype(jnp.uint8)
 
 
 @functools.partial(
@@ -239,6 +259,10 @@ def fused_bf_topk(
     # no in-kernel validity mask is needed
     C = tile_n // 128
     int8_mode = data.dtype == jnp.int8
+    # key-pack mode: |dots| <= d*127^2 and the padded-row sentinel is
+    # 3*d*127^2, so the packed key (score<<8 | slice) spans at most
+    # 4*d*127^2*256 — gate to dims where that fits int32
+    key_pack = int8_mode and 4 * d * 16129 * 256 < 2**31
     if int8_mode:
         # int32 epilogue: pen = round(||row||^2 / 2) stays exact-integer
         # arithmetic in-kernel (the +-0.5-unit rounding is far below the
@@ -249,7 +273,8 @@ def fused_bf_topk(
         else:
             di = dataset.astype(jnp.int32)
             pen_flat = (jnp.sum(di * di, axis=1) + 1) >> 1
-        pen = jnp.pad(pen_flat, (0, pad_n), constant_values=1 << 30)
+        sentinel = 3 * d * 16129 if key_pack else 1 << 30
+        pen = jnp.pad(pen_flat, (0, pad_n), constant_values=sentinel)
     else:
         if ip:
             pen_flat = jnp.zeros((N,), jnp.float32)
@@ -260,11 +285,15 @@ def fused_bf_topk(
             pen_flat = 0.5 * jnp.sum(df * df, axis=1)
         pen = jnp.pad(pen_flat, (0, pad_n), constant_values=jnp.inf)
     pen = pen.reshape(n_tiles, C, 128)
+    if key_pack:
+        # pre-fold the slice id and the <<8 into pen: in-kernel the key
+        # is (dots<<8) - pen' with pen' = (pen<<8) - slice_id
+        pen = (pen << 8) - lax.broadcasted_iota(jnp.int32, pen.shape, 1)
 
     if mxu_n <= 0 or mxu_n > tile_n or tile_n % mxu_n or mxu_n % 128:
         mxu_n = tile_n
     out_v, out_i = pl.pallas_call(
-        functools.partial(_approx_kernel, mxu_n=mxu_n),
+        functools.partial(_approx_kernel, mxu_n=mxu_n, key_pack=key_pack),
         grid=(n_tiles, n_qb),  # query block innermost: data tile reused
         in_specs=[
             pl.BlockSpec((block_q, d), lambda t, i: (i, 0)),
